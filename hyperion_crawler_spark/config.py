@@ -1,0 +1,79 @@
+"""Engine configuration + SparkSession factory.
+
+Constants mirror the reference's operational envelope (BASELINE.md):
+retry/backoff from the GCP workflow retry blocks
+(/root/reference/workflows/krx_etl_workflow.yaml:43-47 — max 3 retries,
+initial delay 5, multiplier 2) and app config
+(/root/reference/api/src/config/etl_config.yaml:140-143,153-155;
+/root/reference/api/src/core/config.py:34-35). Politeness budget mirrors
+the 60 req/min rate limit (/root/reference/api/.env.example:27).
+
+Everything is deterministic: round ids are integers, no wall clock
+(reference task ids embed wall clock — extractor.py:51-57 — we replace
+them with round indices so parity runs are reproducible).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import SparkSession
+
+
+@dataclass(frozen=True)
+class CrawlConfig:
+    """Tunables for the crawl engine. Defaults sized for local[32] tests;
+    at cluster scale raise n_shards / shuffle_partitions proportionally
+    (design point: 10^10 URLs → n_shards ~ 2^14, bloom_bits_per_shard
+    sized for ~10^6 keys/shard at fpr 1e-3 ≈ 14.4 bits/key ≈ 1.8 MB/shard,
+    well inside one Arrow batch)."""
+
+    n_shards: int = 32                 # seen-filter shards = pmod(urlhash, n_shards)
+    bloom_bits_per_shard: int = 1 << 20  # 128 KiB/shard at test scale
+    bloom_k: int = 7                   # hash functions (≈ ln2 * bits/keys)
+    max_retries: int = 3               # workflow yaml:43-47
+    backoff_initial: int = 5           # rounds (reference: seconds)
+    backoff_multiplier: int = 2
+    default_host_budget: int = 60      # per-host per-round cap (60 req/min analog)
+    salt_buckets: int = 8              # hot-host salting fan-out
+    shuffle_partitions: int = 32
+    exact_seen_shadow: bool = True     # keep exact urlhash set alongside Bloom
+                                       # (parity oracle is exact; Bloom is the
+                                       # scale path — SURVEY §7 Phase 2)
+
+
+def default_config() -> CrawlConfig:
+    return CrawlConfig()
+
+
+def get_spark(
+    app: str = "hyperion_crawler_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Build the engine session. AQE on (runtime re-plan + skew join),
+    Arrow on (every Python kernel is a vectorized Arrow UDF)."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    sp = shuffle_partitions if shuffle_partitions is not None else int(cpus) if cpus.isdigit() else 32
+    b = (
+        SparkSession.builder.master(master)
+        .appName(app)
+        .config("spark.sql.shuffle.partitions", str(sp))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,120 @@
+"""Image kernels: deterministic codec, perceptual hash, PSNR.
+
+The container has no image libraries (no PIL/opencv), so real JPEG/PNG
+decode is STUBBED behind an import-try (``decode_real``) exactly as the
+reference stubs unfinished sources (DART extractor returns `[]` with a
+TODO — /root/reference/api/src/etl/dart/extractor.py:19-50). The
+Spark-side plumbing — BinaryType columns, mapInPandas batch iteration,
+schema, PSNR/caption validation — is real and tested against the
+deterministic HY codec below:
+
+* ``hypng`` (stands in for png, lossless): zlib(raw RGB) — decode is
+  bit-exact, PSNR = inf.
+* ``hyjpg`` (stands in for jpeg, lossy): 6-bit uniform quantization then
+  zlib. Quantization MSE ≈ q²/12 = 1.33 → PSNR ≈ 46.8 dB — above the
+  40 dB gate (BASELINE.json input_hint) with margin, like a high-quality
+  JPEG.
+
+Header: b"HYIM" + fmt(1B: 0 lossless / 1 lossy) + w(u16 LE) + h(u16 LE)
++ zlib payload.
+
+Everything is numpy-vectorized; the per-row loop in the mapInPandas
+fetch kernel iterates *rows of a batch* only for the variable-size
+binary payloads (unavoidable with opaque blobs), with all pixel math in
+numpy.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+
+from .hashing import xxh64
+
+_MAGIC = b"HYIM"
+_Q = 4  # lossy quantization step → PSNR ≈ 10*log10(255^2/(q^2/12)) ≈ 46.9 dB
+
+LOSSLESS_FMTS = {"png", "hypng"}
+LOSSY_FMTS = {"jpeg", "hyjpg"}
+
+
+def make_pixels(image_id: str, w: int, h: int) -> np.ndarray:
+    """Deterministic synthetic image: seeded gradient + noise, uint8
+    (h, w, 3). Seed derives from xxh64(image_id) — no global RNG state."""
+    seed = xxh64(image_id.encode("utf-8"), seed=0)
+    rng = np.random.Generator(np.random.PCG64(seed))
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = ((xx * 255) // max(w - 1, 1)).astype(np.int32)
+    grad = ((yy * 255) // max(h - 1, 1)).astype(np.int32)
+    noise = rng.integers(0, 64, size=(h, w, 3), dtype=np.int32)
+    px = np.stack([base, grad, (base + grad) // 2], axis=-1) + noise
+    return np.clip(px, 0, 255).astype(np.uint8)
+
+
+def encode(pixels: np.ndarray, fmt: str) -> bytes:
+    h, w = pixels.shape[:2]
+    lossy = fmt in LOSSY_FMTS
+    if lossy:
+        payload = (pixels // _Q * _Q + _Q // 2).astype(np.uint8)
+    elif fmt in LOSSLESS_FMTS:
+        payload = pixels
+    else:
+        raise ValueError(f"unknown fmt {fmt!r}")
+    header = _MAGIC + bytes([1 if lossy else 0]) + int(w).to_bytes(2, "little") + int(h).to_bytes(2, "little")
+    return header + zlib.compress(payload.tobytes(), level=1)
+
+
+def decode(blob: bytes) -> np.ndarray:
+    if blob[:4] != _MAGIC:
+        return decode_real(blob)
+    w = int.from_bytes(blob[5:7], "little")
+    h = int.from_bytes(blob[7:9], "little")
+    raw = zlib.decompress(blob[9:])
+    return np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3)
+
+
+def decode_real(blob: bytes) -> np.ndarray:
+    """Real-format decode — gated on PIL, stubbed in this container."""
+    try:
+        import io
+
+        from PIL import Image  # noqa: F401
+    except ImportError as e:  # pragma: no cover - container has no PIL
+        raise NotImplementedError(
+            "real JPEG/PNG decode requires an image library not present in "
+            "this container; the HY codec covers the pipeline plumbing"
+        ) from e
+    return np.asarray(Image.open(io.BytesIO(blob)).convert("RGB"))
+
+
+def psnr_db(a: np.ndarray, b: np.ndarray) -> float:
+    """Peak signal-to-noise ratio; inf for identical images."""
+    if a.shape != b.shape:
+        return 0.0
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    if mse == 0:
+        return float("inf")
+    return float(10.0 * np.log10(255.0**2 / mse))
+
+
+def phash64(pixels: np.ndarray) -> int:
+    """64-bit average-hash: gray → 8×8 block-mean downsample → bit per
+    cell (> global mean), packed MSB-first into a signed int64.
+
+    Robust to the HY lossy quantization (block means shift < q/2), so
+    phash(decoded) == stored phash for both codecs — the engine's
+    content-identity check."""
+    g = pixels.astype(np.float64).mean(axis=2)
+    h, w = g.shape
+    ys = (np.arange(9) * h) // 8
+    xs = (np.arange(9) * w) // 8
+    cells = np.empty((8, 8))
+    for i in range(8):
+        for j in range(8):
+            cells[i, j] = g[ys[i]:ys[i + 1], xs[j]:xs[j + 1]].mean()
+    bits = (cells > cells.mean()).flatten()
+    v = 0
+    for b in bits:
+        v = (v << 1) | int(b)
+    return v - (1 << 64) if v >= (1 << 63) else v

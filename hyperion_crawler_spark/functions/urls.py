@@ -1,0 +1,126 @@
+"""URL canonicalization — the engine's scalar kernel F17 (SURVEY §2.8).
+
+Rules (applied in order):
+  1. strip fragment (``#...``)
+  2. lowercase scheme and host
+  3. drop default port (``:80`` for http, ``:443`` for https)
+  4. drop ``utm_*`` tracking params; drop the ``?`` if query becomes empty
+  5. resolve dot-segments in the path (``/a/./b/../c`` → ``/a/c``)
+  6. empty path → ``/``
+
+Two bit-identical implementations:
+
+* ``canonicalize_series`` — vectorized pandas kernel used inside the
+  Arrow ``pandas_udf`` (``canonicalize_udf``). The hot path (no dot
+  segments — the overwhelming majority at crawl scale) is pure
+  vectorized regex; only rows containing ``/./`` or ``/../`` fall back
+  to the scalar resolver. This honors the input_hint's "no per-row
+  Python" for the bulk of the data.
+* ``canonicalize_one`` — scalar mirror for the single-threaded parity
+  oracle (tests/oracle.py).
+
+Equivalence is property-tested (tests/test_urls.py, hypothesis).
+
+The reference has no URL handling (its "sources" are pykrx API calls —
+/root/reference/api/src/etl/krx/extractor.py:43-46); canonicalization is
+the analog of its identifier normalization
+(`normalize_company_identifier`, /root/reference/api/src/etl/base/
+transformer.py:192-201: uppercase + zero-fill → one canonical key form).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_URL_RE = re.compile(r"^(?P<scheme>[A-Za-z][A-Za-z0-9+.-]*)://(?P<host>[^/?#:]+)(?::(?P<port>\d+))?(?P<path>/[^?#]*)?(?:\?(?P<query>[^#]*))?$")
+_DEFAULT_PORTS = {"http": "80", "https": "443"}
+_DOT_SEG_RE = re.compile(r"/\.\.?(?:/|$)")
+
+
+def _resolve_dot_segments(path: str) -> str:
+    out: list[str] = []
+    for seg in path.split("/"):
+        if seg == ".":
+            continue
+        if seg == "..":
+            if len(out) > 1:
+                out.pop()
+            continue
+        out.append(seg)
+    res = "/".join(out)
+    if not res.startswith("/"):
+        res = "/" + res
+    return res
+
+
+def _clean_query(query: str | None) -> str:
+    if not query:
+        return ""
+    kept = [p for p in query.split("&") if p and not p.lower().startswith("utm_")]
+    return "&".join(kept)
+
+
+def canonicalize_one(url: str | None) -> str | None:
+    """Scalar canonicalizer (oracle mirror). Unparseable → unchanged
+    minus fragment (conservative: never drop a URL here; robots/validity
+    filters decide)."""
+    if url is None:
+        return None
+    url = url.split("#", 1)[0]
+    m = _URL_RE.match(url)
+    if not m:
+        return url
+    scheme = m.group("scheme").lower()
+    host = m.group("host").lower()
+    port = m.group("port")
+    path = m.group("path") or "/"
+    if _DOT_SEG_RE.search(path):
+        path = _resolve_dot_segments(path)
+    query = _clean_query(m.group("query"))
+    netloc = host if (port is None or port == _DEFAULT_PORTS.get(scheme)) else f"{host}:{port}"
+    return f"{scheme}://{netloc}{path}" + (f"?{query}" if query else "")
+
+
+def canonicalize_series(urls: pd.Series) -> pd.Series:
+    """Vectorized canonicalizer — same output as ``canonicalize_one``."""
+    s = urls.str.split("#", n=1).str[0]
+    parts = s.str.extract(_URL_RE)
+    ok = parts["scheme"].notna()
+    scheme = parts["scheme"].str.lower()
+    host = parts["host"].str.lower()
+    port = parts["port"]
+    path = parts["path"].fillna("/")
+    # rare slow path: dot segments
+    dotmask = ok & path.str.contains(_DOT_SEG_RE, na=False)
+    if dotmask.any():
+        path = path.copy()
+        path[dotmask] = path[dotmask].map(_resolve_dot_segments)
+    # query cleanup: strip utm_* params with vectorized regex passes
+    q = parts["query"].fillna("")
+    q = q.str.replace(r"(?:^|(?<=&))utm_[^&]*(?:&|$)", "", regex=True, case=False)
+    q = q.str.replace(r"&+$", "", regex=True).str.replace(r"^&+", "", regex=True)
+    default_port = scheme.map(_DEFAULT_PORTS)
+    netloc = host.where(port.isna() | (port == default_port), host + ":" + port.fillna(""))
+    out = scheme + "://" + netloc + path + ("?" + q).where(q != "", "")
+    return out.where(ok, s)
+
+
+@F.pandas_udf(T.StringType())
+def canonicalize_udf(urls: pd.Series) -> pd.Series:
+    return canonicalize_series(urls)
+
+
+def host_of_one(canonical_url: str) -> str:
+    m = _URL_RE.match(canonical_url)
+    return (m.group("host").lower() if m else "").split(":")[0]
+
+
+def host_expr(col):
+    """Host extraction from a *canonical* URL — pure Catalyst expression
+    (stays in whole-stage codegen, no Python): text between ``://`` and
+    the next ``/``, minus any ``:port``."""
+    return F.lower(F.regexp_extract(col, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#:]+)", 1))

@@ -1,0 +1,98 @@
+"""Per-host politeness scheduling — skew-safe top-k (SURVEY §2.5 W2, §2.9).
+
+Semantics (deterministic, mirrored by the parity oracle):
+
+* robots: a URL whose path starts with any of its host's
+  ``disallow_prefixes`` is excluded (reference analog: market allow-list
+  filter — /root/reference/api/src/etl/krx/extractor.py:113-115).
+* budget per host per round =
+  ``min(robots.max_per_round, floor(60 / crawl_delay_s))`` (delay 0 → no
+  delay cap), mirroring the reference's 60 req/min rate limit
+  (/root/reference/api/.env.example:27) and per-source politeness.
+* pick the top-``budget`` eligible URLs per host ordered by
+  ``priority DESC, urlhash ASC`` — the frontier priority queue's total
+  order (north_rule; ties broken by hash so crawl order is reproducible
+  under any partitioning — SURVEY §7 "what's hard" #1).
+
+Skew: a Zipf-hot host would funnel its entire frontier slice through
+one reducer in a naive ``Window.partitionBy(host)``. The two-phase
+top-k bounds that: phase 1 partitions by ``(host, salt)`` with
+``salt = pmod(urlhash, salt_buckets)`` and keeps a local top-``budget``
+per salt bucket (each reducer sees ~1/salt_buckets of the hot host);
+phase 2 runs the exact window on the ≤ ``salt_buckets × budget``
+survivors per host. Result is exactly equal to the single-phase top-k
+(any global top-budget row is also top-budget within its salt bucket)
+at a fraction of the skew cost. Robots rules are a broadcast join —
+the dimension is one row per host (reference analog: in-memory asset
+cache — /root/reference/api/src/etl/krx/transformer.py:24,153-156).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..config import CrawlConfig
+
+ROUND_SECONDS = 60.0  # politeness window per round (60 req/min analog)
+
+
+def path_expr(url_col):
+    """Path component of a canonical URL (Catalyst-only, codegen'd)."""
+    return F.regexp_extract(url_col, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]+(/[^?#]*)", 1)
+
+
+def with_robots(frontier: DataFrame, robots: DataFrame, cfg: CrawlConfig) -> DataFrame:
+    """Broadcast-join robots rules; adds ``robots_allowed`` and
+    ``budget`` columns. Unknown host → allowed, default budget."""
+    r = F.broadcast(robots.select("host", "disallow_prefixes", "crawl_delay_s", "max_per_round"))
+    df = frontier.join(r, "host", "left")
+    path = path_expr(F.col("url"))
+    disallowed = F.exists(
+        F.coalesce(F.col("disallow_prefixes"), F.array().cast("array<string>")),
+        lambda p: path.startswith(p),
+    )
+    delay_cap = F.when(
+        F.coalesce(F.col("crawl_delay_s"), F.lit(0.0)) > 0.0,
+        F.floor(F.lit(ROUND_SECONDS) / F.col("crawl_delay_s")),
+    ).otherwise(F.lit(2**31 - 1))
+    budget = F.least(
+        F.coalesce(F.col("max_per_round"), F.lit(cfg.default_host_budget)).cast("long"),
+        delay_cap,
+    )
+    return (
+        df.withColumn("robots_allowed", ~disallowed)
+        .withColumn("budget", budget)
+        .drop("disallow_prefixes", "crawl_delay_s", "max_per_round")
+    )
+
+
+def topk_per_host(eligible: DataFrame, cfg: CrawlConfig) -> DataFrame:
+    """Exact per-host top-``budget`` by (priority DESC, urlhash ASC),
+    two-phase to break hot-host skew. Input needs columns
+    (host, urlhash, priority, budget)."""
+    order = [F.col("priority").desc(), F.col("urlhash").asc()]
+    local = Window.partitionBy("host", F.pmod(F.col("urlhash"), F.lit(cfg.salt_buckets))).orderBy(*order)
+    pruned = (
+        eligible.withColumn("_rn_local", F.row_number().over(local))
+        .filter(F.col("_rn_local") <= F.col("budget"))
+        .drop("_rn_local")
+    )
+    final = Window.partitionBy("host").orderBy(*order)
+    return (
+        pruned.withColumn("_rn", F.row_number().over(final))
+        .filter(F.col("_rn") <= F.col("budget"))
+        .drop("_rn")
+    )
+
+
+def schedule_round(frontier_eligible: DataFrame, robots: DataFrame, cfg: CrawlConfig
+                   ) -> tuple[DataFrame, DataFrame]:
+    """Returns (scheduled, robots_excluded). ``scheduled`` keeps frontier
+    columns + budget; ``robots_excluded`` rows leave the frontier with
+    status 'excluded' (reference analog: drop-with-warning —
+    /root/reference/api/src/etl/krx/transformer.py:86-89)."""
+    annotated = with_robots(frontier_eligible, robots, cfg)
+    excluded = annotated.filter(~F.col("robots_allowed")).drop("robots_allowed", "budget")
+    allowed = annotated.filter(F.col("robots_allowed")).drop("robots_allowed")
+    return topk_per_host(allowed, cfg).drop("budget"), excluded

@@ -1,0 +1,46 @@
+"""The crawl driver loop — resumable incremental-batch rounds.
+
+Replaces the reference's Cloud Scheduler → GCP Workflow orchestration
+(/root/reference/workflows/krx_etl_workflow.yaml;
+/root/reference/scripts/deploy-scheduler.sh:10): each round is one
+Catalyst job graph ending in snapshot commits; the ``rounds.json``
+checkpoint log is the workflow-status analog
+(/root/reference/api/src/models/task_log.py:11-46).
+
+Resume contract (north_rule): ``run_crawl`` first consults
+``Catalog.last_round()``; a killed job re-enters at the first
+uncommitted round. Because every table read binds to the snapshot
+versions of the last *committed* round and all operators are
+deterministic (stable sort keys, seeded kernels, no wall clock), the
+resumed run's final state is identical to an uninterrupted run —
+asserted in tests/test_resume.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+from ..config import CrawlConfig
+from ..sources.tables import Catalog
+from .round import init_frontier, run_round
+
+
+def run_crawl(spark: SparkSession, store_dir: str, cfg: CrawlConfig,
+              corpus, links, robots, seeds, n_rounds: int,
+              stop_after_round: int | None = None) -> list[dict]:
+    """Run (or resume) a crawl of ``n_rounds`` fetch rounds.
+
+    ``stop_after_round`` simulates a kill for resume tests. Returns the
+    per-round metric dicts produced by this invocation.
+    """
+    cat = Catalog(store_dir)
+    metrics: list[dict] = []
+    last = cat.last_round()
+    if last is None:
+        metrics.append(init_frontier(spark, cat, cfg, seeds))
+        last = 0
+    for r in range(last + 1, n_rounds + 1):
+        metrics.append(run_round(spark, cat, cfg, r, corpus, links, robots))
+        if stop_after_round is not None and r >= stop_after_round:
+            break
+    return metrics

@@ -1,0 +1,206 @@
+"""One crawl round — the engine's core logical plan (SURVEY §3 mapping).
+
+round k: load frontier snapshot → filter eligible (P9) → robots +
+salted per-host top-k (W2) → fetch/validate (mapInPandas over the
+image+caption corpus) → link expansion → canonicalize+hash new URLs
+(F17) → first-wins batch dedup (A4) → Bloom seen probe+update
+(applyInPandas) → MERGE frontier / MERGE seen_filters / append results
++ lineage → snapshot commit = checkpoint.
+
+This replaces the reference's E→T→L HTTP round trip
+(/root/reference/workflows/krx_etl_workflow.yaml:30-189 — the full row
+payload is serialized as JSON between phases, its main scalability
+ceiling): here data stays on executors across all stages; rows cross
+node boundaries only at the two explicit shuffles (host top-k window;
+seen-shard cogroup) plus the corpus join.
+
+Timeline: 1 round = 60 s of politeness budget (ROUND_SECONDS);
+``next_fetch_ts`` is in these synthetic seconds. Retry backoff
+``5·2^retries`` s with ≤3 retries mirrors the reference workflow
+(/root/reference/workflows/krx_etl_workflow.yaml:43-47).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..config import CrawlConfig
+from ..operators.politeness import ROUND_SECONDS, schedule_round
+from ..state.seen import probe_and_update
+from ..functions.urls import canonicalize_udf, host_expr
+from .fetch import fetch_and_validate
+
+FRONTIER_COLS = ["urlhash", "url", "host", "image_id", "shard", "priority",
+                 "status", "retry_count", "next_fetch_ts", "discovered_round"]
+
+
+def canonical_url_rows(raw: DataFrame, url_col: str, image_col: str, priority_col: str,
+                       cfg: CrawlConfig, dedup_order: list) -> DataFrame:
+    """Canonicalize → hash → shard → first-wins dedup on urlhash.
+
+    First-wins semantics mirror the reference's batch dedup
+    (/root/reference/api/src/etl/base/loader.py:188-209: first
+    occurrence of the key tuple wins) with a deterministic total order
+    (``dedup_order``) replacing arrival order, so results are identical
+    under any partitioning.
+    """
+    canon = raw.withColumn("url", canonicalize_udf(F.col(url_col)))
+    keyed = (
+        canon.withColumn("urlhash", F.xxhash64("url"))
+        .withColumn("host", host_expr(F.col("url")))
+        .withColumn("shard", F.pmod(F.col("urlhash"), F.lit(cfg.n_shards)).cast("int"))
+        .withColumn("image_id", F.col(image_col))
+        .withColumn("priority", F.col(priority_col))
+    )
+    w = Window.partitionBy("urlhash").orderBy(*dedup_order)
+    return (
+        keyed.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("urlhash", "url", "host", "image_id", "shard", "priority")
+    )
+
+
+def init_frontier(spark: SparkSession, cat, cfg: CrawlConfig, seeds: DataFrame) -> dict:
+    """Round -1 bootstrap: seeds → canonical frontier rows, all marked
+    seen (a URL is 'seen' once it enters the frontier — never re-added)."""
+    frontier_t = cat.table("frontier", "shard")
+    seen_t = cat.table("seen_filters", "shard")
+    seen_exact_t = cat.table("seen_exact", "shard")
+
+    cand = canonical_url_rows(
+        seeds, "url", "image_id", "priority", cfg,
+        [F.col("priority").desc(), F.col("image_id").asc()],
+    )
+    empty_filters = spark.createDataFrame([], "shard int, filter_bytes binary, n_items long")
+    unseen, filters = probe_and_update(cand, empty_filters, cfg)
+    rows = (
+        unseen.withColumn("status", F.lit("queued"))
+        .withColumn("retry_count", F.lit(0))
+        .withColumn("next_fetch_ts", F.lit(0).cast("long"))
+        .withColumn("discovered_round", F.lit(0))
+        .select(*FRONTIER_COLS)
+    )
+    versions = {
+        "frontier": frontier_t.overwrite(rows),
+        "seen_filters": seen_t.overwrite(filters),
+        "seen_exact": seen_exact_t.overwrite(unseen.select("urlhash", "shard")),
+    }
+    cat.commit_round(0, versions)
+    n = rows.count()
+    return {"round": 0, "seeded": n}
+
+
+def run_round(spark: SparkSession, cat, cfg: CrawlConfig, round_idx: int,
+              corpus: DataFrame, links: DataFrame, robots: DataFrame) -> dict:
+    """Execute crawl round ``round_idx`` (≥1) and commit its snapshot."""
+    frontier_t = cat.table("frontier", "shard")
+    seen_t = cat.table("seen_filters", "shard")
+    seen_exact_t = cat.table("seen_exact", "shard")
+    results_t = cat.table("results", "round")
+    lineage_t = cat.table("lineage", "round")
+
+    round_ts = int(round_idx * ROUND_SECONDS)
+    frontier = frontier_t.read(spark)
+    eligible = frontier.filter(
+        (F.col("status") == "queued") & (F.col("next_fetch_ts") <= round_ts)
+    )
+
+    scheduled, excluded = schedule_round(eligible, robots, cfg)
+    scheduled = scheduled.persist()
+
+    results = fetch_and_validate(scheduled, corpus).persist()
+    fetched = results.filter(F.col("status") == "fetched")
+
+    # --- link expansion → new frontier candidates -------------------
+    discoveries_raw = fetched.select("url").join(
+        links, fetched["url"] == links["src_url"], "inner"
+    ).select(
+        F.col("dst_url").alias("_raw_url"),
+        F.col("dst_image_id").alias("_image_id"),
+        F.col("dst_priority").alias("_priority"),
+        F.col("src_url").alias("_src"),
+    )
+    cand = canonical_url_rows(
+        discoveries_raw, "_raw_url", "_image_id", "_priority", cfg,
+        [F.col("_priority").desc(), F.col("_src").asc(), F.col("_image_id").asc()],
+    ).persist()
+
+    current_filters = seen_t.read(spark)
+    if current_filters is None:
+        current_filters = spark.createDataFrame([], "shard int, filter_bytes binary, n_items long")
+    unseen, new_filters = probe_and_update(cand, current_filters, cfg)
+    unseen = unseen.persist()
+
+    # --- frontier state transitions ----------------------------------
+    backoff = (F.lit(cfg.backoff_initial)
+               * F.pow(F.lit(float(cfg.backoff_multiplier)), F.col("retry_count"))).cast("long")
+    res_updates = results.select(
+        "urlhash", "url", "host", "image_id", "shard", "priority",
+        F.when(F.col("status") == "fetched", F.lit("fetched"))
+         .when(F.col("status") == "quarantined", F.lit("quarantined"))
+         .when(F.col("retry_count") + 1 > cfg.max_retries, F.lit("failed"))
+         .otherwise(F.lit("queued")).alias("status"),
+        F.when(F.col("status") == "failed", F.col("retry_count") + 1)
+         .otherwise(F.col("retry_count")).alias("retry_count"),
+        F.when(F.col("status") == "failed", F.lit(round_ts) + backoff)
+         .otherwise(F.lit(round_ts)).cast("long").alias("next_fetch_ts"),
+        "discovered_round",
+    )
+    excl_updates = excluded.select(
+        "urlhash", "url", "host", "image_id", "shard", "priority",
+        F.lit("excluded").alias("status"), "retry_count",
+        "next_fetch_ts", "discovered_round",
+    )
+    new_rows = unseen.select(
+        "urlhash", "url", "host", "image_id", "shard", "priority",
+        F.lit("queued").alias("status"), F.lit(0).alias("retry_count"),
+        F.lit(0).cast("long").alias("next_fetch_ts"), F.lit(round_idx).alias("discovered_round"),
+    )
+    frontier_merge = (
+        res_updates.select(*FRONTIER_COLS)
+        .unionByName(excl_updates.select(*FRONTIER_COLS))
+        .unionByName(new_rows.select(*FRONTIER_COLS))
+    )
+
+    # --- metrics / lineage (per output partition, task_log.py analog) -
+    n_sched = scheduled.count()
+    n_fetched = fetched.count()
+    n_failed = results.filter(F.col("status") == "failed").count()
+    n_cand = cand.count()
+    n_unseen = unseen.count()
+    lineage = (
+        results.groupBy(F.spark_partition_id().alias("partition_id"))
+        .agg(
+            F.count("*").alias("urls_scheduled"),
+            F.sum(F.when(F.col("status") == "fetched", 1).otherwise(0)).alias("fetched"),
+            F.sum(F.when(F.col("status") == "failed", 1).otherwise(0)).alias("failed"),
+        )
+        .select(
+            F.lit(round_idx).alias("round"), "partition_id",
+            F.lit("success").alias("status"), "urls_scheduled", "fetched", "failed",
+            F.lit(n_cand - n_unseen).cast("long").alias("deduped"),
+            F.to_json(F.struct(F.lit(round_idx).alias("round"))).alias("params"),
+        )
+    )
+
+    # --- commits (snapshot per table; round commit = checkpoint) ----
+    versions = {
+        "results": results_t.append(
+            results.select("urlhash", "url", "host", "image_id",
+                           F.lit(round_idx).alias("round"), "status",
+                           "psnr_db", "caption_ok", "phash", "caption")),
+        "frontier": frontier_t.merge(spark, frontier_merge, ["urlhash"]),
+        "seen_filters": seen_t.merge(spark, new_filters, ["shard"]),
+        "seen_exact": seen_exact_t.append(unseen.select("urlhash", "shard")),
+        "lineage": lineage_t.append(lineage),
+    }
+    cat.commit_round(round_idx, versions)
+
+    for df in (scheduled, results, cand, unseen):
+        df.unpersist()
+    return {
+        "round": round_idx, "scheduled": n_sched, "fetched": n_fetched,
+        "failed": n_failed, "discovered": n_cand, "new_urls": n_unseen,
+        "deduped": n_cand - n_unseen,
+    }

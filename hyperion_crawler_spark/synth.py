@@ -1,0 +1,168 @@
+"""Deterministic synthetic crawl fixtures (FIXTURES.md §1-4).
+
+Seed-stable generation (seed=42 convention, matching /root/testdata):
+every value derives from a counter + seeded PCG64 — no wall clock, no
+unseeded RNG. The same pandas frames feed BOTH the Spark engine (written
+to parquet) and the single-threaded parity oracle, mirroring how the
+reference's tests share one golden fixture between the mocked source and
+the assertions (/root/reference/tests/conftest.py:113-148 — the fixed
+2-ticker pykrx frame).
+
+Host distribution is Zipf-skewed so the salted host-hash repartition is
+actually exercised (FIXTURES.md §2); URLs include messy variants
+(uppercase host, :80, #fragment, utm params) to exercise
+canonicalization; links include duplicate and already-seen targets to
+exercise first-wins dedup (reference semantics:
+/root/reference/api/src/etl/base/loader.py:188-209).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+
+from .functions.images import encode, make_pixels, phash64
+
+_LANGS = ["en", "ko", "de", "ja", "fr"]
+
+
+@dataclass(frozen=True)
+class SynthConfig:
+    n_urls: int = 400          # total fetchable URLs (corpus rows)
+    n_hosts: int = 20
+    n_seeds: int = 60
+    seed: int = 42
+    zipf_a: float = 1.4        # host skew
+    messy_frac: float = 0.35   # fraction of *referenced* URLs that appear messy
+    private_frac: float = 0.10 # fraction of URLs under /private (robots test)
+    max_fanout: int = 5
+    img_dims: tuple = (16, 32, 64)
+
+
+def _mess_up(url: str, r: int) -> str:
+    """Deterministic messy variant r∈{0..3} of a canonical URL."""
+    scheme, rest = url.split("://", 1)
+    host, path = rest.split("/", 1)
+    if r == 0:
+        return f"{scheme}://{host.upper()}/{path}"
+    if r == 1:
+        return f"{scheme}://{host}:80/{path}"
+    if r == 2:
+        return f"{scheme}://{host}/{path}#frag{r}"
+    sep = "&" if "?" in path else "?"
+    return f"{scheme}://{host}/{path}{sep}utm_source=synth&utm_medium=t"
+
+
+def gen_fixture(cfg: SynthConfig = SynthConfig()) -> dict[str, pd.DataFrame]:
+    """Returns pandas frames: corpus, seeds, links, robots.
+
+    ``seeds.url`` / ``links.dst_url`` may be messy variants; the
+    canonical URL for image i is ``canon_urls[i]``.
+    """
+    rng = np.random.Generator(np.random.PCG64(cfg.seed))
+    n = cfg.n_urls
+
+    # Zipf-skewed host ids
+    hosts_raw = rng.zipf(cfg.zipf_a, size=n)
+    host_ids = (hosts_raw - 1) % cfg.n_hosts
+    is_private = rng.random(n) < cfg.private_frac
+
+    image_ids = [f"img{i:010d}" for i in range(n)]
+    canon_urls = [
+        f"http://host{host_ids[i]:04d}.example/{'private/' if is_private[i] else ''}p/{i}"
+        for i in range(n)
+    ]
+
+    # corpus
+    dims = rng.choice(cfg.img_dims, size=(n, 2))
+    fmts = rng.choice(["hypng", "hyjpg"], size=n)
+    langs = rng.choice(_LANGS, size=n)
+    rows = []
+    for i in range(n):
+        w, h = int(dims[i, 0]), int(dims[i, 1])
+        px = make_pixels(image_ids[i], w, h)
+        rows.append(
+            (image_ids[i], encode(px, fmts[i]), w, h, fmts[i],
+             f"caption of {image_ids[i]} in {langs[i]}", phash64(px))
+        )
+    corpus = pd.DataFrame(rows, columns=["image_id", "bytes", "w", "h", "fmt", "caption", "phash"])
+    corpus["w"] = corpus["w"].astype("int32")
+    corpus["h"] = corpus["h"].astype("int32")
+    corpus["phash"] = corpus["phash"].astype("int64")
+
+    def maybe_messy(i: int, u: float, r: int) -> str:
+        return _mess_up(canon_urls[i], r) if u < cfg.messy_frac else canon_urls[i]
+
+    # seeds: first n_seeds image indices, shuffled deterministically
+    n_seeds = min(cfg.n_seeds, n)
+    seed_idx = rng.permutation(n)[:n_seeds]
+    seed_mess_u = rng.random(n_seeds)
+    seed_mess_r = rng.integers(0, 4, n_seeds)
+    seeds = pd.DataFrame({
+        "url": [maybe_messy(seed_idx[j], seed_mess_u[j], seed_mess_r[j]) for j in range(n_seeds)],
+        "image_id": [image_ids[i] for i in seed_idx],
+        "priority": np.round(rng.random(n_seeds), 6),
+    })
+
+    # links: per URL fan-out 0..max_fanout, duplicate targets allowed
+    srcs, dsts, dst_imgs, dst_pri = [], [], [], []
+    fanouts = rng.integers(0, cfg.max_fanout + 1, n)
+    for i in range(n):
+        for _ in range(fanouts[i]):
+            t = int(rng.integers(0, n))
+            u, r = float(rng.random()), int(rng.integers(0, 4))
+            srcs.append(canon_urls[i])
+            dsts.append(maybe_messy(t, u, r))
+            dst_imgs.append(image_ids[t])
+            dst_pri.append(round(float(rng.random()), 6))
+    links = pd.DataFrame({
+        "src_url": srcs, "dst_url": dsts, "dst_image_id": dst_imgs, "dst_priority": dst_pri,
+    })
+
+    # robots: one row per host
+    hosts = [f"host{hid:04d}.example" for hid in range(cfg.n_hosts)]
+    disallow = [["/private"] if rng.random() < 0.5 else [] for _ in hosts]
+    robots = pd.DataFrame({
+        "host": hosts,
+        "disallow_prefixes": disallow,
+        "crawl_delay_s": rng.choice([0.0, 1.0, 5.0], size=cfg.n_hosts),
+        "max_per_round": rng.choice([1, 2, 5, 10], size=cfg.n_hosts).astype("int32"),
+    })
+
+    return {"corpus": corpus, "seeds": seeds, "links": links, "robots": robots}
+
+
+def write_fixture_parquet(fixture: dict[str, pd.DataFrame], outdir: str) -> None:
+    """Write fixture frames as parquet (pyarrow; no Spark needed)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    for name, pdf in fixture.items():
+        pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), f"{outdir}/{name}.parquet")
+
+
+def gen_frontier_distributed(spark, n_urls: int, n_hosts: int = 1000, n_seen: int = 0):
+    """Bench-scale frontier generator — pure Catalyst (spark.range +
+    builtin functions, zero Python), so generating 10^7+ candidate URLs
+    is not the bottleneck when measuring URLs-scheduled/sec.
+
+    Host skew: host_id = floor(n_hosts * u^4) with u uniform from a hash
+    — power-law concentration near host 0 (hot hosts), same shape the
+    Zipf fixture exercises.
+    """
+    from pyspark.sql import functions as F
+
+    df = spark.range(n_urls).withColumn("u", (F.pmod(F.xxhash64("id"), F.lit(10**9)) / 1e9))
+    df = df.select(
+        F.col("id"),
+        F.floor(F.lit(n_hosts) * F.pow("u", F.lit(4.0))).cast("int").alias("host_id"),
+        (F.pmod(F.xxhash64("id", F.lit(1)), F.lit(10**6)) / 1e6).alias("priority"),
+    )
+    return df.select(
+        F.concat(F.lit("http://host"), F.lpad(F.col("host_id").cast("string"), 5, "0"),
+                 F.lit(".example/p/"), F.col("id").cast("string")).alias("url"),
+        F.concat(F.lit("img"), F.lpad(F.col("id").cast("string"), 10, "0")).alias("image_id"),
+        F.col("priority"),
+    )

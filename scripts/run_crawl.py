@@ -1,0 +1,68 @@
+"""CLI crawl driver — the spark-submit entry point (north_rule ship
+vehicle).
+
+Usage::
+
+    spark-submit --py-files hyperion_crawler_spark.zip scripts/run_crawl.py \
+        --fixture-dir /path/to/fixture --store /path/to/store --rounds 5
+
+    # or synthesize the fixture on the fly:
+    python scripts/run_crawl.py --synth-urls 400 --store /tmp/store --rounds 5
+
+Prints one JSON metrics line per round. Re-running with the same
+--store resumes from the last committed round (no-op if complete).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from hyperion_crawler_spark import schemas as S  # noqa: E402
+from hyperion_crawler_spark.config import CrawlConfig, get_spark  # noqa: E402
+from hyperion_crawler_spark.plans.loop import run_crawl  # noqa: E402
+from hyperion_crawler_spark.synth import SynthConfig, gen_fixture, write_fixture_parquet  # noqa: E402
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--fixture-dir", help="dir with corpus/seeds/links/robots parquet")
+    ap.add_argument("--synth-urls", type=int, default=0,
+                    help="generate a fixture of N urls instead of --fixture-dir")
+    ap.add_argument("--store", required=True, help="table-store root (checkpointed state)")
+    ap.add_argument("--rounds", type=int, default=5)
+    ap.add_argument("--shards", type=int, default=32)
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args()
+
+    spark = get_spark(app="hyperion-crawl", master=args.master)
+    cfg = CrawlConfig(n_shards=args.shards)
+
+    fixture_dir = args.fixture_dir
+    if args.synth_urls:
+        fixture_dir = tempfile.mkdtemp(prefix="hyperion_fixture_")
+        write_fixture_parquet(gen_fixture(SynthConfig(n_urls=args.synth_urls)), fixture_dir)
+        print(json.dumps({"event": "fixture", "dir": fixture_dir, "n_urls": args.synth_urls}))
+    if not fixture_dir:
+        ap.error("need --fixture-dir or --synth-urls")
+
+    dfs = {
+        name: spark.read.schema(getattr(S, name.upper())).parquet(f"{fixture_dir}/{name}.parquet")
+        for name in ["corpus", "seeds", "links", "robots"]
+    }
+    metrics = run_crawl(spark, args.store, cfg, dfs["corpus"], dfs["links"],
+                        dfs["robots"], dfs["seeds"], n_rounds=args.rounds)
+    for m in metrics:
+        print(json.dumps({"event": "round", **m}))
+    if not metrics:
+        print(json.dumps({"event": "resume_noop", "last_round": args.rounds}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,110 @@
+"""Golden end-to-end: Spark engine crawl vs single-threaded exact oracle.
+
+Parity clauses (BASELINE.json north_rule): per-round crawl ordering
+(priority DESC, urlhash ASC over each round's scheduled set), final
+URL-seen membership, frontier status machine, and the per-row payload
+invariant (PSNR ≥ 40 dB lossy / exact lossless + caption equality +
+phash match) — all under the identical seed list + politeness budget.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from hyperion_crawler_spark.functions.images import LOSSY_FMTS
+from hyperion_crawler_spark.plans.loop import run_crawl
+from hyperion_crawler_spark.sources.tables import Catalog
+
+from .oracle import run_oracle
+
+N_ROUNDS = 5
+
+
+@pytest.fixture(scope="module")
+def crawl_run(spark, fixture_dfs, fixture_pdf, crawl_cfg, tmp_path_factory):
+    store = str(tmp_path_factory.mktemp("crawl_store"))
+    metrics = run_crawl(
+        spark, store, crawl_cfg,
+        corpus=fixture_dfs["corpus"], links=fixture_dfs["links"],
+        robots=fixture_dfs["robots"], seeds=fixture_dfs["seeds"],
+        n_rounds=N_ROUNDS,
+    )
+    oracle = run_oracle(fixture_pdf, crawl_cfg, N_ROUNDS)
+    return store, metrics, oracle
+
+
+def test_crawl_order_parity(spark, crawl_run):
+    store, _, oracle = crawl_run
+    results = Catalog(store).table("results", "round").read(spark)
+    for rnd in range(1, N_ROUNDS + 1):
+        got = [
+            r["urlhash"]
+            for r in results.filter(F.col("round") == rnd)
+            .join(Catalog(store).table("frontier", "shard").read(spark)
+                  .select("urlhash", F.col("priority").alias("p")), "urlhash")
+            .orderBy(F.col("p").desc(), F.col("urlhash").asc())
+            .collect()
+        ]
+        assert got == oracle.crawl_order[rnd - 1], f"round {rnd} order mismatch"
+
+
+def test_seen_membership_parity(spark, crawl_run):
+    store, _, oracle = crawl_run
+    seen = Catalog(store).table("seen_exact", "shard").read(spark)
+    got = {r["urlhash"] for r in seen.select("urlhash").collect()}
+    assert got == oracle.seen
+
+
+def test_frontier_status_parity(spark, crawl_run):
+    store, _, oracle = crawl_run
+    fr = Catalog(store).table("frontier", "shard").read(spark)
+    got = {r["urlhash"]: r["status"] for r in fr.collect()}
+    want = {h: row["status"] for h, row in oracle.frontier.items()}
+    assert got == want
+
+
+def test_result_status_parity(spark, crawl_run):
+    store, _, oracle = crawl_run
+    res = Catalog(store).table("results", "round").read(spark)
+    got = {(r["round"], r["urlhash"]): r["status"] for r in res.collect()}
+    want = {(r["round"], r["urlhash"]): r["status"] for r in oracle.results}
+    assert got == want
+
+
+def test_payload_invariants(spark, crawl_run, fixture_dfs):
+    store, _, _ = crawl_run
+    res = Catalog(store).table("results", "round").read(spark).filter("status = 'fetched'")
+    joined = res.join(
+        fixture_dfs["corpus"].select("image_id", F.col("fmt"),
+                                     F.col("caption").alias("want_caption"),
+                                     F.col("phash").alias("want_phash")),
+        "image_id")
+    rows = joined.collect()
+    assert rows
+    for r in rows:
+        dist = bin((r["phash"] ^ r["want_phash"]) & ((1 << 64) - 1)).count("1")
+        if r["fmt"] in LOSSY_FMTS:
+            assert r["psnr_db"] >= 40.0
+            assert dist <= 2
+        else:
+            assert r["psnr_db"] >= 99.0  # lossless sentinel (bit-exact)
+            assert dist == 0
+        assert r["caption"] == r["want_caption"]
+        assert r["caption_ok"]
+
+
+def test_bloom_agrees_with_exact_shadow(spark, crawl_run, crawl_cfg):
+    store, _, _ = crawl_run
+    cat = Catalog(store)
+    n_exact = cat.table("seen_exact", "shard").read(spark).select("urlhash").distinct().count()
+    n_bloom = sum(r["n_items"] for r in cat.table("seen_filters", "shard").read(spark).collect())
+    assert n_bloom == n_exact
+
+
+def test_metrics_progression(crawl_run):
+    _, metrics, _ = crawl_run
+    fetch_rounds = [m for m in metrics if "scheduled" in m]
+    assert len(fetch_rounds) == N_ROUNDS
+    assert fetch_rounds[0]["scheduled"] > 0
+    assert any(m["deduped"] > 0 for m in fetch_rounds), "dup links must be deduped"
+    assert any(m["new_urls"] > 0 for m in fetch_rounds), "frontier must grow"
+    assert any(m["failed"] > 0 for m in fetch_rounds), "transient failures must occur"

@@ -1,0 +1,73 @@
+"""SnapshotTable: append / merge / overwrite-partitions / time travel /
+file pruning / crash invisibility."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from hyperion_crawler_spark.sources.tables import Catalog
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_append_and_time_travel(spark, tmp_path):
+    t = Catalog(str(tmp_path)).table("t1", "shard")
+    df1 = spark.createDataFrame([(1, 10), (2, 20)], "shard int, v int")
+    v1 = t.append(df1)
+    df2 = spark.createDataFrame([(3, 30)], "shard int, v int")
+    v2 = t.append(df2)
+    assert _rows(t.read(spark)) == [(1, 10), (2, 20), (3, 30)]
+    assert _rows(t.read(spark, version=v1)) == [(1, 10), (2, 20)]
+    assert v2 > v1
+
+
+def test_merge_upsert_semantics(spark, tmp_path):
+    # MERGE = ON CONFLICT DO UPDATE (reference base/loader.py:144-186)
+    t = Catalog(str(tmp_path)).table("t2", "shard")
+    t.append(spark.createDataFrame([(1, 1, "a"), (2, 2, "b")], "k int, shard int, v string"))
+    t.merge(spark, spark.createDataFrame([(2, 2, "B"), (3, 3, "c")], "k int, shard int, v string"), ["k"])
+    assert _rows(t.read(spark)) == [(1, 1, "a"), (2, 2, "B"), (3, 3, "c")]
+
+
+def test_merge_prunes_untouched_files(spark, tmp_path):
+    t = Catalog(str(tmp_path)).table("t3", "shard")
+    big = spark.range(1000).select(
+        F.pmod("id", F.lit(8)).cast("int").alias("shard"), F.col("id").alias("v"))
+    t.append(big)
+    files_before = {f["path"] for f in t._live_files()}
+    # merge touching only shard 3
+    src = spark.createDataFrame([(3, 99999)], "shard int, v long")
+    t.merge(spark, src, ["v"])
+    files_after = {f["path"] for f in t._live_files()}
+    carried = files_before & files_after
+    assert carried, "untouched shard files must be carried over, not rewritten"
+    assert _rows(t.read(spark).filter("v = 99999")) == [(3, 99999)]
+    assert t.read(spark).count() == 1001
+
+
+def test_overwrite_partitions_replace(spark, tmp_path):
+    # REPLACE = DELETE WHERE part IN (...) + insert (krx/loader.py:163-176)
+    t = Catalog(str(tmp_path)).table("t4", "shard")
+    t.append(spark.createDataFrame([(1, 10), (1, 11), (2, 20)], "shard int, v int"))
+    t.overwrite_partitions(spark, spark.createDataFrame([(1, 99)], "shard int, v int"), [1])
+    assert _rows(t.read(spark)) == [(1, 99), (2, 20)]
+
+
+def test_uncommitted_data_invisible(spark, tmp_path):
+    t = Catalog(str(tmp_path)).table("t5", "shard")
+    t.append(spark.createDataFrame([(1, 1)], "shard int, v int"))
+    # simulate a crash mid-write: data files exist, no manifest
+    entries = t._write_data(spark.createDataFrame([(9, 9)], "shard int, v int"))
+    assert entries
+    assert _rows(t.read(spark)) == [(1, 1)]
+
+
+def test_round_checkpoint_log(tmp_path):
+    cat = Catalog(str(tmp_path))
+    assert cat.last_round() is None
+    cat.commit_round(0, {"frontier": 1})
+    cat.commit_round(1, {"frontier": 2, "results": 1})
+    assert cat.last_round() == 1
+    assert cat.completed_rounds()[1]["results"] == 1

@@ -1,0 +1,69 @@
+"""Canonicalizer: golden cases + scalar/vectorized/Spark-UDF equivalence."""
+
+import pandas as pd
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from hyperion_crawler_spark.functions.urls import (
+    canonicalize_one,
+    canonicalize_series,
+    canonicalize_udf,
+    host_expr,
+    host_of_one,
+)
+
+GOLDEN = [
+    ("http://HOST01.Example/p/1", "http://host01.example/p/1"),
+    ("http://host.example:80/p/1", "http://host.example/p/1"),
+    ("https://host.example:443/p/1", "https://host.example/p/1"),
+    ("http://host.example:8080/p/1", "http://host.example:8080/p/1"),
+    ("http://host.example/p/1#frag", "http://host.example/p/1"),
+    ("http://host.example/p/1?utm_source=x&utm_medium=y", "http://host.example/p/1"),
+    ("http://host.example/p/1?a=1&utm_source=x&b=2", "http://host.example/p/1?a=1&b=2"),
+    ("http://host.example/a/./b/../c", "http://host.example/a/c"),
+    ("http://host.example", "http://host.example/"),
+    ("http://host.example/p/1?UTM_CAMPAIGN=z", "http://host.example/p/1"),
+    ("not a url #x", "not a url "),
+]
+
+
+@pytest.mark.parametrize("raw,want", GOLDEN)
+def test_golden_scalar(raw, want):
+    assert canonicalize_one(raw) == want
+
+
+def test_vectorized_matches_scalar_on_golden():
+    s = pd.Series([g[0] for g in GOLDEN])
+    out = canonicalize_series(s)
+    assert list(out) == [g[1] for g in GOLDEN]
+
+
+url_strategy = st.builds(
+    lambda scheme, host, port, path, q, frag: f"{scheme}://{host}{port}{path}{q}{frag}",
+    st.sampled_from(["http", "HTTP", "https"]),
+    st.from_regex(r"[A-Za-z][A-Za-z0-9.-]{0,12}", fullmatch=True),
+    st.sampled_from(["", ":80", ":443", ":8080"]),
+    st.from_regex(r"(/[a-z0-9._~/%-]{0,10}){0,3}", fullmatch=True),
+    st.sampled_from(["", "?a=1", "?utm_source=t", "?a=1&utm_x=2&b=3", "?utm_a=1&utm_b=2"]),
+    st.sampled_from(["", "#f", "#a/b?c"]),
+)
+
+
+@given(st.lists(url_strategy, min_size=1, max_size=50))
+@settings(max_examples=60, deadline=None)
+def test_vectorized_matches_scalar_property(urls):
+    out = canonicalize_series(pd.Series(urls, dtype=object))
+    assert list(out) == [canonicalize_one(u) for u in urls]
+
+
+def test_spark_udf_and_host_expr(spark):
+    import pyspark.sql.functions as F
+
+    raws = [g[0] for g in GOLDEN if "://" in g[0]]
+    df = spark.createDataFrame([(u,) for u in raws], "raw string") \
+        .select("raw", canonicalize_udf("raw").alias("url")) \
+        .select("raw", "url", host_expr(F.col("url")).alias("host"))
+    for r in df.collect():
+        assert r["url"] == canonicalize_one(r["raw"])
+        assert r["host"] == host_of_one(r["url"])
