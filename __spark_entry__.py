@@ -1,38 +1,636 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship crawl-scheduling pipeline over
+sf0.001; ``queries()`` exposes one callable per implemented operator
+from SURVEY.md §2 plus the training-data-pipeline suite; ``oracle_sql``
+returns the DuckDB-runnable ANSI mirror of each query (identical
+column names and, where floating point is involved, identical
+expression shapes so value-hashes match).
+
+Non-SQL-expressible entries (the stateful crawl loop itself, Bloom
+probe, LSH recall) are covered by pytest golden tests instead
+(tests/test_crawl_parity.py) and intentionally have no oracle entry.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from hyperion_crawler_spark.config import CrawlConfig  # noqa: E402
+from hyperion_crawler_spark.functions import text as TX  # noqa: E402
+from hyperion_crawler_spark.functions.scalars import (  # noqa: E402
+    clean_numeric,
+    change_amount,
+    json_field,
+    trading_value,
+    weekend_roll,
+)
+from hyperion_crawler_spark.operators import dedup as DD  # noqa: E402
+from hyperion_crawler_spark.operators import relational as R  # noqa: E402
+from hyperion_crawler_spark.operators import similarity as SIM  # noqa: E402
+from hyperion_crawler_spark.operators.politeness import topk_per_host  # noqa: E402
+from hyperion_crawler_spark.plans.round import canonical_url_rows  # noqa: E402
 
 
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _pround(col, n: int):
+    """Cross-engine-portable rounding: floor(x·10^n + 0.5)/10^n computed
+    on the raw double. Spark's round() re-parses the double's shortest
+    decimal repr (BigDecimal HALF_UP) while DuckDB rounds the raw binary
+    value — they disagree on exact .5-cent boundaries; floor arithmetic
+    is bit-identical in both."""
+    s = float(10 ** n)
+    return F.floor(col * s + F.lit(0.5)) / s
+
+
+_SQL_PROUND = "floor({x} * {s} + 0.5) / {s}"
+
+
+# =====================================================================
+# entry — flagship query (smoke check at sf0.001)
+# =====================================================================
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: one crawl-scheduling pass over a frontier derived from
+    the orders table — canonicalize → hash → first-wins dedup →
+    skew-safe per-host top-k (budget 5) → priority-ordered schedule."""
+    sf_dir = "/root/testdata/sf0.001"
+    orders = _t(spark, sf_dir, "orders")
+    cfg = CrawlConfig(n_shards=16, salt_buckets=4)
+    raw = orders.select(
+        F.concat(F.lit("HTTP://Host"), F.lpad(F.pmod("o_custkey", F.lit(50)).cast("string"), 4, "0"),
+                 F.lit(".Example:80/o/"), F.col("o_orderkey").cast("string"),
+                 F.lit("?utm_source=entry")).alias("raw_url"),
+        F.concat(F.lit("img"), F.lpad(F.col("o_orderkey").cast("string"), 10, "0")).alias("image_id"),
+        (F.col("o_totalprice") / 1e6).alias("pri"),
+    )
+    cand = canonical_url_rows(raw, "raw_url", "image_id", "pri", cfg,
+                              [F.col("pri").desc(), F.col("image_id").asc()])
+    scheduled = topk_per_host(cand.withColumn("budget", F.lit(5).cast("long")), cfg)
+    return scheduled.select("host", "url", "urlhash", F.round("priority", 6).alias("priority")) \
+                    .orderBy(F.col("priority").desc(), F.col("urlhash").asc())
+
+
+# =====================================================================
+# query implementations (spark, sf_dir) -> DataFrame
+# =====================================================================
+def q01_first_wins_dedup(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    kept = R.first_wins_dedup(li, ["l_orderkey"],
+                              [F.col("l_linenumber").asc(), F.col("l_partkey").asc(),
+                               F.col("l_suppkey").asc(), F.col("l_extendedprice").asc()])
+    return kept.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+
+
+def q02_latest_per_key(spark, sf):
+    o = _t(spark, sf, "orders")
+    return R.latest_per_key(o, ["o_custkey"], F.col("o_orderdate"),
+                            [F.col("o_orderkey").desc()]) \
+            .select("o_custkey", "o_orderkey", "o_totalprice")
+
+
+def q03_topk_per_key(spark, sf):
+    o = _t(spark, sf, "orders")
+    return R.topk_per_key(o, ["o_custkey"],
+                          [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()], 3) \
+            .select("o_custkey", "o_orderkey", "rank")
+
+
+def q04_consensus_histogram(spark, sf):
+    ev = _t(spark, sf, "events")
+    return R.consensus_histogram(ev, "event_type", (F.col("event_id") % 5 + 1))
+
+
+def q05_validity_filter(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    valid = ((F.col("l_quantity") > 0) & (F.col("l_extendedprice") >= 0)
+             & F.col("l_discount").between(0, 0.5) & (F.col("l_tax") >= 0))
+    return li.groupBy("l_returnflag").agg(
+        F.sum(F.when(valid, 1).otherwise(0)).alias("n_valid"),
+        F.sum(F.when(valid, 0).otherwise(1)).alias("n_invalid"))
+
+
+def q06_scalar_clean(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    messy = F.concat(F.lit("₩"), F.floor(F.col("l_extendedprice") * 100).cast("string"))
+    cleaned = clean_numeric(messy) / 100.0
+    # change_amount/trading_value (scalars.py F3/F4) use Spark round();
+    # the oracle query uses the portable floor-round so DuckDB matches
+    # bit-for-bit on .5-cent boundaries
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        _pround(cleaned, 2).alias("cleaned_price"),
+        _pround(cleaned * (F.col("l_discount") * 100) / 100.0, 2).alias("change_amt"),
+        _pround(cleaned * F.col("l_quantity"), 2).alias("trade_val"))
+
+
+def q07_weekend_roll(spark, sf):
+    o = _t(spark, sf, "orders")
+    return o.select("o_orderkey",
+                    F.date_format(weekend_roll(F.col("o_orderdate")), "yyyy-MM-dd").alias("trade_date"))
+
+
+def q08_lookup_or_create(spark, sf):
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer").filter(F.col("c_custkey") % 3 != 0) \
+        .select(F.col("c_custkey").alias("o_custkey"), F.col("c_name").alias("uuid"))
+    gen = F.concat(F.lit("gen_"), F.substring(F.sha2(F.col("o_custkey").cast("string"), 256), 1, 16))
+    return R.lookup_or_create(o, c, ["o_custkey"], "uuid", gen) \
+            .select("o_orderkey", "o_custkey", "uuid")
+
+
+def q09_merge_upsert(spark, sf):
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+    target = o.filter(F.col("o_orderkey") % 2 == 0)
+    source = o.filter(F.col("o_orderkey") % 3 == 0) \
+              .withColumn("o_totalprice", _pround(F.col("o_totalprice") * 1.1, 2))
+    merged = R.merge_upsert(target, source, ["o_orderkey"])
+    return merged.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"), _pround(F.sum("o_totalprice"), 2).alias("sum_total"))
+
+
+def q10_replace_partition(spark, sf):
+    o = _t(spark, sf, "orders").select(
+        "o_orderkey", "o_totalprice", F.year("o_orderdate").alias("yr"))
+    source = o.filter(F.col("yr") == 1995).withColumn("o_totalprice", F.lit(0.0))
+    out = R.replace_partition(o, source, "yr", [1995])
+    return out.groupBy("yr").agg(
+        F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("sum_total"))
+
+
+def q11_filters(spark, sf):
+    ev = _t(spark, sf, "events")
+    return (ev.filter((F.col("value") > 0) & F.col("event_type").isin("click", "view", "purchase"))
+              .groupBy("event_type")
+              .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value")))
+
+
+def q12_json_extract(spark, sf):
+    ev = _t(spark, sf, "events")
+    k = json_field(F.col("props"), "$.k").cast("long")
+    return ev.select(F.col("event_type"), k.alias("k")) \
+             .groupBy("event_type") \
+             .agg(F.count("*").alias("n"), F.round(F.avg("k"), 6).alias("avg_k"),
+                  F.min("k").alias("min_k"), F.max("k").alias("max_k"))
+
+
+def q13_fk_semi_anti(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    dim = _t(spark, sf, "part").filter(F.col("p_partkey") % 5 != 0) \
+        .select(F.col("p_partkey").alias("l_partkey"), F.lit(1).alias("_hit"))
+    j = li.join(F.broadcast(dim), "l_partkey", "left")
+    return j.groupBy("l_returnflag").agg(
+        F.sum(F.when(F.col("_hit").isNotNull(), 1).otherwise(0)).alias("n_valid"),
+        F.sum(F.when(F.col("_hit").isNull(), 1).otherwise(0)).alias("n_quarantined"))
+
+
+def q14_projection_defaults(spark, sf):
+    c = _t(spark, sf, "customer")
+    mapped = R.map_fields(c.withColumn("seg", F.nullif(F.col("c_mktsegment"), F.lit("BUILDING"))),
+                          {"cust_id": "c_custkey", "name": "c_name", "seg": "seg",
+                           "acctbal": "c_acctbal"})
+    return R.apply_defaults(mapped, {"seg": "UNKNOWN"})
+
+
+def _docs_with_exact_dups(spark, sf):
+    d = _t(spark, sf, "documents").select("doc_id", "text", "lang")
+    dups = d.filter(F.col("doc_id") % 10 == 0) \
+            .withColumn("doc_id", F.col("doc_id") + 200000)
+    return d.unionByName(dups)
+
+
+def q15_exact_dedup_docs(spark, sf):
+    d = _docs_with_exact_dups(spark, sf)
+    deduped = DD.exact_dedup(d, "doc_id", "text")
+    joined = deduped.join(d.select("doc_id", "lang"), "doc_id")
+    return joined.groupBy("lang").agg(F.count("*").alias("n_unique"))
+
+
+def _docs_with_near_dups(spark, sf):
+    """documents(doc_id<200) ∪ drop-first-token variants (id+100000)."""
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 200).select("doc_id", "text")
+    variants = d.select((F.col("doc_id") + 100000).alias("doc_id"),
+                        F.expr("substring(text, instr(text, ' ') + 1)").alias("text"))
+    return d.unionByName(variants)
+
+
+def q16_ngram_jaccard(spark, sf):
+    d = _docs_with_near_dups(spark, sf)
+    return DD.ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5)
+
+
+def q17_minhash_signature(spark, sf):
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 100)
+    sig = DD.minhash_signature(F.col("text"))
+    return d.select("doc_id", *[sig[j].alias(f"sig_{j}") for j in range(DD.N_MINHASH)])
+
+
+def q18_minhash_lsh_pairs(spark, sf):
+    d = _docs_with_near_dups(spark, sf)
+    return DD.minhash_lsh_pairs(d, "doc_id", "text", jaccard_threshold=0.5)
+
+
+def q19_simhash(spark, sf):
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    return DD.simhash_df(d, "doc_id", "text")
+
+
+def q20_embedding_topk(spark, sf):
+    e = _t(spark, sf, "embeddings")
+    queries = e.filter(F.col("vec_id") % 25 == 0)
+    return SIM.brute_force_topk(queries, e, k=5)
+
+
+def q21_embedding_near_dup(spark, sf):
+    e = _t(spark, sf, "embeddings").filter(F.col("vec_id") < 200) \
+        .select("vec_id", "embedding")
+    pert = e.select((F.col("vec_id") + 100000).alias("vec_id"),
+                    F.transform("embedding", lambda x: x.cast("double") + 0.01).alias("embedding"))
+    return SIM.embedding_near_dup_pairs(e.unionByName(pert), threshold=0.8)
+
+
+def q22_text_quality(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", *TX.quality_metrics(F.col("text")),
+                    TX.quality_score(F.col("text")).alias("quality"))
+
+
+def q23_lang_id(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", TX.lang_id(F.col("text")).alias("lang_guess"),
+                    TX.token_count(F.col("text")).alias("n_tokens"),
+                    TX.bpe_ish_token_count(F.col("text")).alias("n_subtokens"))
+
+
+def q24_fingerprint(spark, sf):
+    d = _t(spark, sf, "documents")
+    return (d.select(TX.fingerprint(F.col("text")).alias("fp"))
+             .groupBy("fp").agg(F.count("*").alias("n")))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "q01_first_wins_dedup": q01_first_wins_dedup,
+        "q02_latest_per_key": q02_latest_per_key,
+        "q03_topk_per_key": q03_topk_per_key,
+        "q04_consensus_histogram": q04_consensus_histogram,
+        "q05_validity_filter": q05_validity_filter,
+        "q06_scalar_clean": q06_scalar_clean,
+        "q07_weekend_roll": q07_weekend_roll,
+        "q08_lookup_or_create": q08_lookup_or_create,
+        "q09_merge_upsert": q09_merge_upsert,
+        "q10_replace_partition": q10_replace_partition,
+        "q11_filters": q11_filters,
+        "q12_json_extract": q12_json_extract,
+        "q13_fk_semi_anti": q13_fk_semi_anti,
+        "q14_projection_defaults": q14_projection_defaults,
+        "q15_exact_dedup_docs": q15_exact_dedup_docs,
+        "q16_ngram_jaccard": q16_ngram_jaccard,
+        "q17_minhash_signature": q17_minhash_signature,
+        "q18_minhash_lsh_pairs": q18_minhash_lsh_pairs,
+        "q19_simhash": q19_simhash,
+        "q20_embedding_topk": q20_embedding_topk,
+        "q21_embedding_near_dup": q21_embedding_near_dup,
+        "q22_text_quality": q22_text_quality,
+        "q23_lang_id": q23_lang_id,
+        "q24_fingerprint": q24_fingerprint,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# =====================================================================
+# DuckDB oracle SQL — identical column names & expression shapes
+# =====================================================================
+_H60 = "CAST(CAST(concat('0x', substr(sha256({x}), 1, 15)) AS UBIGINT) AS BIGINT)"
+
+
+def _sql_ngrams(text: str, n: int) -> str:
+    """DuckDB distinct word n-grams of a space-split text expr."""
+    return (f"list_distinct([array_to_string(string_split({text}, ' ')[i:i+{n - 1}], ' ') "
+            f"for i in generate_series(1, greatest(len(string_split({text}, ' ')) - {n - 1}, 0))])")
+
+
+def _sql_minhash_sigs(text: str) -> list[str]:
+    hashes = (f"list_transform({_sql_ngrams(text, 3)}, "
+              f"s -> {_H60.format(x='s')} % {DD.MINHASH_DOMAIN})")
+    return [
+        f"list_min(list_transform({hashes}, x -> ({a} * x + {b}) % {DD.MINHASH_P}))"
+        for (a, b) in DD.MINHASH_PERMS
+    ]
+
+
+def _sql_stopword_hits(text: str, lang: str) -> str:
+    lit = ", ".join(f"'{w}'" for w in TX.STOPWORDS[lang])
+    return (f"len(list_filter(string_split({text}, ' '), "
+            f"t -> list_contains([{lit}], t)))")
+
+
+def _sql_near_dup_docs() -> str:
+    return (
+        "(SELECT doc_id, text FROM documents WHERE doc_id < 200 "
+        "UNION ALL SELECT doc_id + 100000 AS doc_id, "
+        "substr(text, instr(text, ' ') + 1) AS text FROM documents WHERE doc_id < 200)"
+    )
+
+
+def _sql_plane_sig(vec: str) -> str:
+    planes = SIM._hyperplanes(8, 64)
+    bits = []
+    for i, p in enumerate(planes):
+        lits = ", ".join(repr(w) for w in p)
+        bits.append(
+            f"(CASE WHEN list_dot_product(list_transform({vec}, x -> CAST(x AS DOUBLE)), "
+            f"[{lits}]) >= 0 THEN 1 ELSE 0 END) * {1 << i}"
+        )
+    return "(" + " + ".join(bits) + ")"
+
+
+_SQL_COS = ("round(list_dot_product(list_transform({a}, x -> CAST(x AS DOUBLE)), "
+            "list_transform({b}, x -> CAST(x AS DOUBLE))) / "
+            "(sqrt(list_dot_product(list_transform({a}, x -> CAST(x AS DOUBLE)), "
+            "list_transform({a}, x -> CAST(x AS DOUBLE)))) * "
+            "sqrt(list_dot_product(list_transform({b}, x -> CAST(x AS DOUBLE)), "
+            "list_transform({b}, x -> CAST(x AS DOUBLE))))), 6)")
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    sigs = _sql_minhash_sigs("text")
+    sig_cols = ", ".join(f"{s} AS sig_{j}" for j, s in enumerate(sigs))
+    bkeys = [
+        "concat_ws('-', " + ", ".join(
+            f"CAST(sig_{bi * DD.LSH_BAND_ROWS + r} AS VARCHAR)"
+            for r in range(DD.LSH_BAND_ROWS)) + f") AS bkey_{bi}"
+        for bi in range(DD.N_MINHASH // DD.LSH_BAND_ROWS)
+    ]
+    g = _sql_ngrams("text", 3)
+    sw = {lg: _sql_stopword_hits("text", lg) for lg in TX.STOPWORDS}
+    punct = "length(regexp_replace(text, '[^.,;:!?]', '', 'g'))"
+    upper = "length(regexp_replace(text, '[^A-Z]', '', 'g'))"
+    ntok = "len(string_split(text, ' '))"
+
+    return {
+        "q01_first_wins_dedup": """
+            WITH kept AS (
+              SELECT *, row_number() OVER (PARTITION BY l_orderkey
+                        ORDER BY l_linenumber ASC, l_partkey ASC,
+                                 l_suppkey ASC, l_extendedprice ASC) AS rn
+              FROM lineitem)
+            SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+            FROM kept WHERE rn = 1 GROUP BY l_returnflag
+        """,
+        "q02_latest_per_key": """
+            WITH r AS (
+              SELECT o_custkey, o_orderkey, o_totalprice, row_number() OVER (
+                PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+              FROM orders)
+            SELECT o_custkey, o_orderkey, o_totalprice FROM r WHERE rn = 1
+        """,
+        "q03_topk_per_key": """
+            WITH r AS (
+              SELECT o_custkey, o_orderkey, CAST(row_number() OVER (
+                PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC)
+                AS INTEGER) AS rank
+              FROM orders)
+            SELECT o_custkey, o_orderkey, rank FROM r WHERE rank <= 3
+        """,
+        "q04_consensus_histogram": """
+            SELECT event_type,
+                   round(avg(event_id % 5 + 1), 2) AS avg_rating,
+                   count(*) AS n_ratings,
+                   CAST(sum(CASE WHEN event_id % 5 + 1 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_rating_1,
+                   CAST(sum(CASE WHEN event_id % 5 + 1 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rating_2,
+                   CAST(sum(CASE WHEN event_id % 5 + 1 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_rating_3,
+                   CAST(sum(CASE WHEN event_id % 5 + 1 = 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_rating_4,
+                   CAST(sum(CASE WHEN event_id % 5 + 1 = 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_rating_5
+            FROM events GROUP BY event_type
+        """,
+        "q05_validity_filter": """
+            SELECT l_returnflag,
+                   CAST(sum(CASE WHEN l_quantity > 0 AND l_extendedprice >= 0
+                        AND l_discount BETWEEN 0 AND 0.5 AND l_tax >= 0
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+                   CAST(sum(CASE WHEN l_quantity > 0 AND l_extendedprice >= 0
+                        AND l_discount BETWEEN 0 AND 0.5 AND l_tax >= 0
+                        THEN 0 ELSE 1 END) AS BIGINT) AS n_invalid
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "q06_scalar_clean": """
+            WITH c AS (
+              SELECT l_orderkey, l_linenumber, l_quantity, l_discount,
+                     CAST(regexp_replace(concat('₩', CAST(CAST(floor(l_extendedprice * 100)
+                          AS BIGINT) AS VARCHAR)), '[,$₩]', '', 'g') AS DOUBLE) / 100.0 AS cleaned
+              FROM lineitem)
+            SELECT l_orderkey, l_linenumber,
+                   floor(cleaned * 100.0 + 0.5) / 100.0 AS cleaned_price,
+                   floor(cleaned * (l_discount * 100) / 100.0 * 100.0 + 0.5) / 100.0 AS change_amt,
+                   floor(cleaned * l_quantity * 100.0 + 0.5) / 100.0 AS trade_val
+            FROM c
+        """,
+        "q07_weekend_roll": """
+            SELECT o_orderkey,
+                   strftime(CASE WHEN dayofweek(o_orderdate) = 0
+                                 THEN o_orderdate - INTERVAL 2 DAY
+                                 WHEN dayofweek(o_orderdate) = 6
+                                 THEN o_orderdate - INTERVAL 1 DAY
+                                 ELSE o_orderdate END, '%Y-%m-%d') AS trade_date
+            FROM orders
+        """,
+        "q08_lookup_or_create": """
+            SELECT o.o_orderkey, o.o_custkey,
+                   coalesce(c.c_name, concat('gen_',
+                       substr(sha256(CAST(o.o_custkey AS VARCHAR)), 1, 16))) AS uuid
+            FROM orders o
+            LEFT JOIN (SELECT * FROM customer WHERE c_custkey % 3 != 0) c
+              ON o.o_custkey = c.c_custkey
+        """,
+        "q09_merge_upsert": """
+            WITH target AS (
+              SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 2 = 0),
+            source AS (
+              SELECT o_orderkey, o_orderstatus,
+                     floor(o_totalprice * 1.1 * 100.0 + 0.5) / 100.0 AS o_totalprice
+              FROM orders WHERE o_orderkey % 3 = 0),
+            merged AS (
+              SELECT t.* FROM target t ANTI JOIN source s ON t.o_orderkey = s.o_orderkey
+              UNION ALL SELECT * FROM source)
+            SELECT o_orderstatus, count(*) AS n,
+                   floor(sum(o_totalprice) * 100.0 + 0.5) / 100.0 AS sum_total
+            FROM merged GROUP BY o_orderstatus
+        """,
+        "q10_replace_partition": """
+            WITH t AS (SELECT o_orderkey, o_totalprice,
+                              CAST(year(o_orderdate) AS INTEGER) AS yr FROM orders),
+            merged AS (
+              SELECT * FROM t WHERE yr != 1995
+              UNION ALL SELECT o_orderkey, 0.0 AS o_totalprice, yr FROM t WHERE yr = 1995)
+            SELECT yr, count(*) AS n, round(sum(o_totalprice), 2) AS sum_total
+            FROM merged GROUP BY yr
+        """,
+        "q11_filters": """
+            SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+            FROM events
+            WHERE value > 0 AND event_type IN ('click', 'view', 'purchase')
+            GROUP BY event_type
+        """,
+        "q12_json_extract": """
+            WITH k AS (SELECT event_type,
+                              CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
+            SELECT event_type, count(*) AS n, round(avg(k), 6) AS avg_k,
+                   min(k) AS min_k, max(k) AS max_k
+            FROM k GROUP BY event_type
+        """,
+        "q13_fk_semi_anti": """
+            SELECT l_returnflag,
+                   CAST(sum(CASE WHEN p.p_partkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+                   CAST(sum(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_quarantined
+            FROM lineitem l
+            LEFT JOIN (SELECT p_partkey FROM part WHERE p_partkey % 5 != 0) p
+              ON l.l_partkey = p.p_partkey
+            GROUP BY l_returnflag
+        """,
+        "q14_projection_defaults": """
+            SELECT c_custkey AS cust_id, c_name AS name,
+                   coalesce(nullif(c_mktsegment, 'BUILDING'), 'UNKNOWN') AS seg,
+                   c_acctbal AS acctbal
+            FROM customer
+        """,
+        "q15_exact_dedup_docs": """
+            WITH all_docs AS (
+              SELECT doc_id, text, lang FROM documents
+              UNION ALL SELECT doc_id + 200000, text, lang FROM documents WHERE doc_id % 10 = 0),
+            kept AS (
+              SELECT doc_id, row_number() OVER (PARTITION BY sha256(text)
+                     ORDER BY doc_id ASC) AS rn
+              FROM all_docs)
+            SELECT d.lang, count(*) AS n_unique
+            FROM kept k JOIN all_docs d ON k.doc_id = d.doc_id
+            WHERE k.rn = 1 GROUP BY d.lang
+        """,
+        "q16_ngram_jaccard": f"""
+            WITH docs AS (SELECT * FROM {_sql_near_dup_docs()} t),
+            sh AS (
+              SELECT doc_id, {_H60.format(x='shingle')} AS sh
+              FROM (SELECT doc_id, unnest({g}) AS shingle FROM docs)),
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+            common AS (
+              SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_common
+              FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id)
+            SELECT id1, id2, n_common, s1.n_sh AS n1, s2.n_sh AS n2,
+                   round(n_common / (s1.n_sh + s2.n_sh - n_common), 6) AS jaccard
+            FROM common
+            JOIN sizes s1 ON common.id1 = s1.doc_id
+            JOIN sizes s2 ON common.id2 = s2.doc_id
+            WHERE round(n_common / (s1.n_sh + s2.n_sh - n_common), 6) >= 0.5
+        """,
+        "q17_minhash_signature": f"""
+            SELECT doc_id, {sig_cols}
+            FROM documents WHERE doc_id < 100
+        """,
+        "q18_minhash_lsh_pairs": f"""
+            WITH docs AS (SELECT * FROM {_sql_near_dup_docs()} t),
+            sigs AS (SELECT doc_id, text, {sig_cols} FROM docs),
+            bands AS (
+              SELECT doc_id, text, band, bkey FROM (
+                SELECT doc_id, text, {', '.join(bkeys)} FROM sigs
+              ) UNPIVOT (bkey FOR band IN ({', '.join(f'bkey_{bi}' for bi in range(4))}))),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
+                     a.text AS t1, b.text AS t2
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+            , verified AS (
+              SELECT id1, id2,
+                     round(len(list_intersect({_sql_ngrams('t1', 3)}, {_sql_ngrams('t2', 3)})) /
+                           (len({_sql_ngrams('t1', 3)}) + len({_sql_ngrams('t2', 3)})
+                            - len(list_intersect({_sql_ngrams('t1', 3)}, {_sql_ngrams('t2', 3)}))),
+                           6) AS jaccard
+              FROM cand)
+            SELECT id1, id2, jaccard FROM verified WHERE jaccard >= 0.5
+        """,
+        "q19_simhash": f"""
+            WITH tok AS (
+              SELECT doc_id, {_H60.format(x='t')} AS h
+              FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+                    FROM documents WHERE doc_id < 200)),
+            sums AS (
+              SELECT doc_id,
+                     {', '.join(f"CAST(sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS s{j}" for j in range(64))}
+              FROM tok GROUP BY doc_id)
+            SELECT doc_id,
+                   CAST({' + '.join(f"(CASE WHEN s{j} > 0 THEN 1 ELSE 0 END) * CAST({1 << j} AS BIGINT)" for j in range(63))}
+                   + (CASE WHEN s63 > 0 THEN (-9223372036854775807 - 1) ELSE 0 END) AS BIGINT) AS simhash
+            FROM sums
+        """,
+        "q20_embedding_topk": f"""
+            WITH scored AS (
+              SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+                     {_SQL_COS.format(a='q.embedding', b='c.embedding')} AS cos
+              FROM (SELECT * FROM embeddings WHERE vec_id % 25 = 0) q
+              CROSS JOIN embeddings c
+              WHERE q.vec_id != c.vec_id),
+            ranked AS (
+              SELECT q_id, n_id, cos, CAST(row_number() OVER (
+                PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS INTEGER) AS rank
+              FROM scored)
+            SELECT q_id, n_id, cos, rank FROM ranked WHERE rank <= 5
+        """,
+        "q21_embedding_near_dup": f"""
+            WITH base AS (
+              SELECT vec_id AS id, embedding AS vec FROM embeddings WHERE vec_id < 200
+              UNION ALL
+              SELECT vec_id + 100000 AS id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE) + 0.01) AS vec
+              FROM embeddings WHERE vec_id < 200),
+            sigs AS (SELECT id, vec, {_sql_plane_sig('vec')} AS bucket FROM base),
+            pairs AS (
+              SELECT a.id AS id1, b.id AS id2,
+                     {_SQL_COS.format(a='a.vec', b='b.vec')} AS cos
+              FROM sigs a JOIN sigs b ON a.bucket = b.bucket AND a.id < b.id)
+            SELECT id1, id2, cos FROM pairs WHERE cos >= 0.8
+        """,
+        "q22_text_quality": f"""
+            SELECT doc_id,
+                   CAST(length(text) AS INTEGER) AS n_chars_q,
+                   CAST({ntok} AS INTEGER) AS n_tokens,
+                   round(length(text) / {ntok}, 6) AS mean_token_len,
+                   round({punct} / length(text), 6) AS punct_ratio,
+                   round({sw['en']} / {ntok}, 6) AS stopword_ratio,
+                   round({upper} / length(text), 6) AS upper_ratio,
+                   round(least(1.0,
+                       (CASE WHEN {ntok} BETWEEN 20 AND 1000 THEN 0.5 ELSE 0.0 END)
+                       + round({sw['en']} / {ntok}, 6) * 2.0
+                       - {punct} / length(text)), 6) AS quality
+            FROM documents
+        """,
+        "q23_lang_id": f"""
+            WITH s AS (
+              SELECT doc_id, text,
+                     {sw['en']} AS s_en, {sw['de']} AS s_de, {sw['fr']} AS s_fr
+              FROM documents)
+            SELECT doc_id,
+                   CASE WHEN greatest(s_en, s_de, s_fr) <= 0 THEN 'unknown'
+                        WHEN s_en = greatest(s_en, s_de, s_fr) THEN 'en'
+                        WHEN s_de = greatest(s_en, s_de, s_fr) THEN 'de'
+                        WHEN s_fr = greatest(s_en, s_de, s_fr) THEN 'fr'
+                   END AS lang_guess,
+                   CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+                   CAST(len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]'))
+                        AS INTEGER) AS n_subtokens
+            FROM s
+        """,
+        "q24_fingerprint": """
+            SELECT sha256(substr(lower(regexp_replace(text, '\\s+', ' ', 'g')), 1, 64)) AS fp,
+                   count(*) AS n
+            FROM documents GROUP BY fp
+        """,
+    }

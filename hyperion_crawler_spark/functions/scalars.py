@@ -1,0 +1,104 @@
+"""Reference scalar-function library re-expressed as Catalyst Column
+expressions (SURVEY §2.8 F1-F16) — JVM-side, whole-stage-codegen'd; the
+reference computes each per-row in interpreted Python.
+
+Each function cites its reference implementation; semantics (null on
+parse failure, currency-symbol stripping, weekend roll, etc.) follow
+the reference exactly and are cross-checked against the DuckDB oracle
+in __spark_entry__.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def normalize_date(col: Column, fmt: str = "yyyy-MM-dd") -> Column:
+    """F1 — parse string/date → 'yyyy-MM-dd' string, null on failure.
+    Ref: normalize_date, api/src/etl/base/transformer.py:61-76."""
+    return F.date_format(F.to_date(col, fmt), "yyyy-MM-dd")
+
+
+def clean_numeric(col: Column) -> Column:
+    """F2 — strip currency symbols/commas → double, null on failure.
+    Ref: clean_numeric, api/src/etl/base/transformer.py:78-95."""
+    return F.regexp_replace(col.cast("string"), r"[,$₩]", "").cast("double")
+
+
+def change_amount(close: Column, rate: Column) -> Column:
+    """F3 — round(close*rate/100, 2).
+    Ref: calculate_change_amount, api/src/etl/base/transformer.py:144-148."""
+    return F.round(close * rate / 100.0, 2)
+
+
+def trading_value(price: Column, volume: Column) -> Column:
+    """F4 — round(price*volume, 2).
+    Ref: calculate_trading_value, api/src/etl/base/transformer.py:150-154."""
+    return F.round(price * volume, 2)
+
+
+def normalize_market_cap(value: Column, unit_threshold: float = 1e8) -> Column:
+    """F5 — values below the unit threshold are in 억원-style units and
+    get scaled up. Ref: normalize_market_cap,
+    api/src/etl/base/transformer.py:156-169."""
+    return F.when(value < unit_threshold, value * unit_threshold).otherwise(value)
+
+
+def normalize_identifier(col: Column, id_type: str = "ticker") -> Column:
+    """F6 — uppercase ticker / zero-pad CIK(10) / corp_code(8).
+    Ref: normalize_company_identifier, api/src/etl/base/transformer.py:192-201."""
+    if id_type == "ticker":
+        return F.upper(col)
+    if id_type == "cik":
+        return F.lpad(col.cast("string"), 10, "0")
+    if id_type == "corp_code":
+        return F.lpad(col.cast("string"), 8, "0")
+    raise ValueError(id_type)
+
+
+def normalize_rating(col: Column, mapping: dict[str, str] | None = None) -> Column:
+    """F7 — lowercase, space/dash → underscore, then literal-map lookup.
+    Ref: normalize_rating, api/src/etl/base/transformer.py:210-219."""
+    norm = F.translate(F.lower(col), " -", "__")
+    if not mapping:
+        return norm
+    m = F.create_map(*[F.lit(x) for kv in mapping.items() for x in kv])
+    return F.coalesce(m[norm], norm)
+
+
+def weekend_roll(d: Column) -> Column:
+    """F9 — roll Saturday/Sunday back to Friday (dayofweek: 1=Sun,7=Sat).
+    Ref: get_trade_date, api/src/etl/base/extractor.py:81-93."""
+    return (
+        F.when(F.dayofweek(d) == 1, F.date_sub(d, 2))
+        .when(F.dayofweek(d) == 7, F.date_sub(d, 1))
+        .otherwise(F.to_date(d))
+    )
+
+
+def parse_symbols(col: Column) -> Column:
+    """F11 — split CSV, trim, uppercase.
+    Ref: parse_symbols, api/src/etl/base/extractor.py:126-137."""
+    return F.transform(F.split(col, ","), lambda x: F.upper(F.trim(x)))
+
+
+def task_id(source: str, suffix: str, round_col: Column) -> Column:
+    """F12 — deterministic task id: source_suffix_round (the reference
+    embeds wall clock — extractor.py:51-57; we use round indices so
+    runs are reproducible)."""
+    return F.concat_ws("_", F.lit(source), F.lit(suffix), round_col.cast("string"))
+
+
+def add_metadata(df, source: str, round_col: Column):
+    """F13 — stamp lineage columns on each row.
+    Ref: add_metadata, api/src/etl/base/loader.py:211-220."""
+    return (df.withColumn("created_round", round_col)
+              .withColumn("updated_round", round_col)
+              .withColumn("data_source", F.lit(source)))
+
+
+def json_field(col: Column, path: str) -> Column:
+    """F16 — JSON column access.
+    Ref: parameters/result_summary JSON, api/src/models/task_log.py:26-27."""
+    return F.get_json_object(col, path)

@@ -1,0 +1,93 @@
+"""Text-analysis kernels over the ``documents`` table — language-ID
+heuristic, quality scoring, token counting, document fingerprinting
+(training-data-pipeline operators). All pure Catalyst expressions with
+exact ANSI-SQL mirrors for the DuckDB oracle.
+
+The reference's nearest analog is its per-row normalization pass
+(clean_numeric / normalize_rating — api/src/etl/base/transformer.py:
+78-95,210-219): scalar text → derived signal, nulls on failure.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# tiny function-word inventories for the n-gram/stopword language
+# heuristic (public linguistic commonplaces)
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "zu", "den"],
+    "fr": ["le", "la", "de", "et", "est", "un", "une", "les"],
+}
+
+
+def tokens(text: Column) -> Column:
+    return F.split(text, " ")
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count (size of split array)."""
+    return F.size(tokens(text))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """BPE-ish subword proxy: count of alnum runs + standalone
+    punctuation marks (regexp match count — the standard cheap
+    tokenizer-length estimate)."""
+    return F.regexp_count(text, F.lit(r"[a-zA-Z0-9]+|[^a-zA-Z0-9\s]"))
+
+
+def stopword_hits(text: Column, lang: str) -> Column:
+    """Number of tokens that are function words of ``lang``."""
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(tokens(text), lambda t: F.array_contains(sw, t)))
+
+
+def lang_id(text: Column) -> Column:
+    """Heuristic language ID: argmax of per-language stopword hit rate;
+    'unknown' when nothing matches. Deterministic tie-break by the
+    fixed language order en > de > fr (greatest-when chain)."""
+    scores = {lg: stopword_hits(text, lg) for lg in STOPWORDS}
+    best = F.greatest(*scores.values())
+    expr = F.when(best <= 0, F.lit("unknown"))
+    for lg in STOPWORDS:  # fixed order = deterministic tie-break
+        expr = expr.when(scores[lg] == best, F.lit(lg))
+    return expr
+
+
+def quality_metrics(text: Column) -> list[Column]:
+    """Quality-score feature columns: n_chars, n_tokens, mean token
+    length, punctuation ratio, stopword(en) ratio, uppercase ratio."""
+    n_chars = F.length(text)
+    n_tok = token_count(text)
+    punct = F.length(F.regexp_replace(text, r"[^.,;:!?]", ""))
+    upper = F.length(F.regexp_replace(text, r"[^A-Z]", ""))
+    sw_ratio = F.round(stopword_hits(text, "en") / n_tok, 6)
+    return [
+        n_chars.alias("n_chars_q"),
+        n_tok.alias("n_tokens"),
+        F.round(n_chars / n_tok, 6).alias("mean_token_len"),
+        F.round(punct / n_chars, 6).alias("punct_ratio"),
+        sw_ratio.alias("stopword_ratio"),
+        F.round(upper / n_chars, 6).alias("upper_ratio"),
+    ]
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality score: length band + stopword evidence −
+    punctuation noise (deterministic linear blend; the weights are the
+    operator contract, mirrored in the oracle SQL)."""
+    n_tok = token_count(text)
+    len_band = F.when((n_tok >= 20) & (n_tok <= 1000), F.lit(0.5)).otherwise(F.lit(0.0))
+    sw = F.round(stopword_hits(text, "en") / n_tok, 6)
+    punct = F.length(F.regexp_replace(text, r"[^.,;:!?]", "")) / F.length(text)
+    return F.round(F.least(F.lit(1.0), len_band + sw * 2.0 - punct), 6)
+
+
+def fingerprint(text: Column, prefix_chars: int = 64) -> Column:
+    """Document fingerprint: sha256 of the whitespace-collapsed,
+    lowercased first ``prefix_chars`` chars — the cheap rolling-hash
+    analog used for fast candidate grouping before exact dedup."""
+    norm = F.substring(F.lower(F.regexp_replace(text, r"\s+", " ")), 1, prefix_chars)
+    return F.sha2(norm, 256)

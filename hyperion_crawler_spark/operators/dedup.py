@@ -1,0 +1,189 @@
+"""Document deduplication suite — exact, n-gram Jaccard, MinHash+LSH,
+SimHash (training-data-pipeline operators; the reference's only dedup is
+the exact first-wins set — api/src/etl/base/loader.py:188-209 — these
+are its scale generalizations).
+
+Portability contract: every hash here is derivable in ANSI SQL so the
+DuckDB oracle can reproduce values exactly —
+``sha2``-based 60-bit token hash (``conv(substr(sha2(x),1,15),16,10)``)
+and small-domain linear congruential MinHash permutations whose
+products stay inside signed-64 arithmetic in both engines. Spark's
+``xxhash64`` is faster but engine-private; it stays in the crawl path
+where the oracle is our own Python mirror.
+
+All operators are pure Catalyst expressions (arrays + higher-order
+functions) — no Python UDFs; at 100 TB these run entirely inside
+whole-stage codegen and the only shuffles are the documented
+groupBy/join keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import xxh64
+
+MINHASH_P = 2305843009213693951  # 2^61 - 1 (Mersenne)
+MINHASH_DOMAIN = 1 << 30         # tokens reduced mod 2^30 so a*x fits int64
+N_MINHASH = 16
+LSH_BAND_ROWS = 4                # 16 sigs → 4 bands of 4
+
+
+def _perm_constants() -> list[tuple[int, int]]:
+    """Deterministic MinHash permutation constants (no runtime RNG):
+    a_j odd in [1, 2^30), b_j in [0, p)."""
+    out = []
+    for j in range(N_MINHASH):
+        a = (xxh64(f"minhash-a-{j}".encode(), seed=0) % (MINHASH_DOMAIN - 2)) | 1
+        b = xxh64(f"minhash-b-{j}".encode(), seed=0) % MINHASH_P
+        out.append((a, b))
+    return out
+
+
+MINHASH_PERMS = _perm_constants()
+
+
+def portable_hash60(col: Column) -> Column:
+    """60-bit hash reproducible in DuckDB/any-SQL: first 15 hex chars of
+    sha256, base-16 → long."""
+    return F.conv(F.substring(F.sha2(col, 256), 1, 15), 16, 10).cast("long")
+
+
+def tokens_expr(text: Column) -> Column:
+    return F.split(text, " ")
+
+
+def word_ngrams(text: Column, n: int) -> Column:
+    """Distinct word n-gram shingles of a space-tokenized text."""
+    toks = tokens_expr(text)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.array_distinct(grams)
+
+
+# ---------------------------------------------------------------- exact
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact content dedup: group by sha256(text), keep lowest id
+    (first-wins under deterministic order). Hash-groupBy → one shuffle
+    on the digest; at scale the digest groupBy is the canonical
+    map-side-combinable exact dedup."""
+    h = F.sha2(F.col(text_col), 256).alias("content_sha")
+    w = Window.partitionBy("content_sha").orderBy(F.col(id_col).asc())
+    return (df.select(F.col(id_col), F.col(text_col), h)
+              .withColumn("_rn", F.row_number().over(w))
+              .filter(F.col("_rn") == 1).drop("_rn"))
+
+
+# ------------------------------------------------------- n-gram Jaccard
+def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
+                        n: int = 3, threshold: float = 0.5) -> DataFrame:
+    """Near-dup pairs by exact word-n-gram Jaccard ≥ threshold.
+
+    Plan shape: explode distinct shingles → self-equi-join on shingle
+    hash (the only shuffle) → pair-count agg → Jaccard. The join is on
+    the 60-bit shingle hash, not the string, to keep shuffle rows
+    narrow. O(sum pair-collisions); at 100 TB you run MinHash-LSH below
+    first and feed only candidate pairs through this verifier."""
+    sh = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_ngrams(F.col(text_col), n)).alias("shingle"),
+    ).select("doc_id", portable_hash60(F.col("shingle")).alias("sh"))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id1"), F.col("n_sh").alias("n1"))
+    sb = sizes.select(F.col("doc_id").alias("id2"), F.col("n_sh").alias("n2"))
+    return (
+        common.join(sa, "id1").join(sb, "id2")
+        .withColumn("jaccard", F.round(F.col("n_common") /
+                                       (F.col("n1") + F.col("n2") - F.col("n_common")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id1", "id2", "n_common", "n1", "n2", "jaccard")
+    )
+
+
+# ------------------------------------------------------------- MinHash
+def minhash_signature(text: Column) -> Column:
+    """Array of N_MINHASH signature longs over word 3-gram shingles."""
+    hashes = F.transform(word_ngrams(text, 3), lambda s: portable_hash60(s) % MINHASH_DOMAIN)
+    sigs = [
+        F.array_min(F.transform(hashes, lambda x: (F.lit(a) * x + F.lit(b)) % MINHASH_P))
+        for (a, b) in MINHASH_PERMS
+    ]
+    return F.array(*sigs)
+
+
+def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
+                      jaccard_threshold: float = 0.5) -> DataFrame:
+    """MinHash → banded LSH candidate generation → exact-Jaccard verify.
+
+    Scale path for near-dup at 10^10 docs: signature is one projection
+    pass; candidate pairs come from equi-joins on (band, band-signature)
+    — only documents sharing a band bucket ever meet, so the shuffle is
+    proportional to collisions, not |docs|². Verification re-checks
+    exact n-gram Jaccard so false-positive buckets are filtered; LSH
+    false negatives are the standard recall trade-off (16 sigs / 4
+    bands → s-curve threshold ≈ (1/4)^(1/4) ≈ 0.71)."""
+    with_sig = df.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text"),
+        minhash_signature(F.col(text_col)).alias("sig"),
+    )
+    bands = with_sig.select(
+        "doc_id", "_text", "sig",
+        F.explode(F.array(*[
+            F.struct(F.lit(bi).alias("band"),
+                     F.concat_ws("-", *[F.col("sig")[bi * LSH_BAND_ROWS + r].cast("string")
+                                        for r in range(LSH_BAND_ROWS)]).alias("bkey"))
+            for bi in range(N_MINHASH // LSH_BAND_ROWS)
+        ])).alias("bb"),
+    ).select("doc_id", "_text", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bkey") == F.col("b.bkey"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"),
+                F.col("a._text").alias("t1"), F.col("b._text").alias("t2"))
+        .distinct()
+    )
+    g1 = word_ngrams(F.col("t1"), 3)
+    g2 = word_ngrams(F.col("t2"), 3)
+    inter = F.size(F.array_intersect(g1, g2))
+    uni = F.size(g1) + F.size(g2) - inter
+    return (
+        cand.withColumn("jaccard", F.round(inter / uni, 6))
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id1", "id2", "jaccard")
+    )
+
+
+# -------------------------------------------------------------- SimHash
+def simhash_df(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash per document, portable-SQL arithmetic.
+
+    Token 60-bit hashes → per-bit ±1 vote sums → sign bits packed into
+    a signed long (bit 63 maps to the sign). Implemented as explode +
+    64 conditional sums (pure hash agg, map-side combinable); the
+    vectorized Pandas-UDF variant would batch this at cluster scale but
+    the exploded form keeps the DuckDB oracle byte-identical."""
+    tok = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens_expr(F.col(text_col))).alias("tok"),
+    ).select("doc_id", portable_hash60(F.col("tok")).alias("h"))
+    sums = tok.groupBy("doc_id").agg(*[
+        F.sum(F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1)
+               .otherwise(-1)).alias(f"s{j}")
+        for j in range(64)
+    ])
+    packed = sum(
+        (F.when(F.col(f"s{j}") > 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(1 << j)
+         for j in range(63)),
+        F.lit(0).cast("long"),
+    ) + F.when(F.col("s63") > 0, F.lit(-(1 << 63))).otherwise(F.lit(0))
+    return sums.select("doc_id", packed.alias("simhash"))

@@ -1,0 +1,140 @@
+"""Embedding similarity search — brute-force cosine top-k (baseline)
+and LSH-bucketed ANN (scale path). Training-data-pipeline operator over
+``embeddings(vec_id, embedding array<float>, label)``.
+
+Dot products are pure Catalyst higher-order functions
+(``zip_with`` + ``aggregate``) over the array column, computed in
+double — stays in codegen, no Python. Summation order is array order,
+matching DuckDB's ``list_dot_product`` fold exactly, so the oracle can
+value-hash the cosines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import xxh64
+
+
+def _as_double(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
+                              F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    a, b = _as_double(a), _as_double(b)
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
+                     id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact cosine top-k neighbors per query (baseline / verifier).
+
+    Plan: broadcast the (small) query set against the corpus — one
+    pass, no corpus shuffle; the only shuffle is the per-query top-k
+    window on |queries|·|corpus| scored rows. At cluster scale the
+    corpus side stays partition-local (this is the textbook
+    broadcast-NL-join scoring shape); for big query sets use the LSH
+    path below."""
+    q = F.broadcast(queries.select(F.col(id_col).alias("q_id"),
+                                   F.col(vec_col).alias("q_vec")))
+    c = corpus.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"))
+    scored = (
+        q.crossJoin(c)
+        .filter(F.col("q_id") != F.col("n_id"))
+        .select("q_id", "n_id", F.round(cosine(F.col("q_vec"), F.col("n_vec")), 6).alias("cos"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= k)
+                  .select("q_id", "n_id", "cos", "rank"))
+
+
+def _hyperplanes(n_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (no runtime RNG):
+    component (i,j) from xxh64 mapped to [-1, 1]."""
+    return [
+        [(xxh64(f"plane-{i}-{j}".encode(), seed=0) % 2_000_001) / 1_000_000.0 - 1.0
+         for j in range(dim)]
+        for i in range(n_planes)
+    ]
+
+
+def lsh_bucket_topk(queries: DataFrame, corpus: DataFrame, dim: int, k: int = 5,
+                    n_planes: int = 8, id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """ANN scale path: random-hyperplane LSH → bucket equi-join → exact
+    cosine within bucket → per-query top-k.
+
+    The bucket signature (n_planes sign bits) partitions the corpus;
+    queries only meet corpus vectors in their own bucket, so the join
+    is an equi-join on the signature (shuffle ∝ bucket collisions, not
+    |q|·|corpus|). Recall < 1 by construction — measured against
+    brute_force_topk in tests (standard ANN recall@k methodology)."""
+    planes = _hyperplanes(n_planes, dim)
+
+    def sig(vec: Column) -> Column:
+        bits = [
+            F.when(
+                F.aggregate(
+                    F.zip_with(_as_double(vec), F.array(*[F.lit(w) for w in p]),
+                               lambda x, y: x * y),
+                    F.lit(0.0), lambda acc, x: acc + x) >= 0, F.lit(1)
+            ).otherwise(F.lit(0)) * F.lit(1 << i)
+            for i, p in enumerate(planes)
+        ]
+        return sum(bits[1:], bits[0])
+
+    q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"),
+                       sig(F.col(vec_col)).alias("bucket"))
+    c = corpus.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"),
+                      sig(F.col(vec_col)).alias("bucket"))
+    scored = (
+        q.join(c, "bucket")
+        .filter(F.col("q_id") != F.col("n_id"))
+        .select("q_id", "n_id", F.round(cosine(F.col("q_vec"), F.col("n_vec")), 6).alias("cos"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= k)
+                  .select("q_id", "n_id", "cos", "rank"))
+
+
+def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
+                             id_col: str = "vec_id", vec_col: str = "embedding",
+                             dim: int = 64, n_planes: int = 8) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via the LSH bucket join
+    (id1 < id2, cosine ≥ threshold)."""
+    planes = _hyperplanes(n_planes, dim)
+
+    def sig(vec: Column) -> Column:
+        bits = [
+            F.when(
+                F.aggregate(
+                    F.zip_with(_as_double(vec), F.array(*[F.lit(w) for w in p]),
+                               lambda x, y: x * y),
+                    F.lit(0.0), lambda acc, x: acc + x) >= 0, F.lit(1)
+            ).otherwise(F.lit(0)) * F.lit(1 << i)
+            for i, p in enumerate(planes)
+        ]
+        return sum(bits[1:], bits[0])
+
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"),
+                     sig(F.col(vec_col)).alias("bucket"))
+    a, b = base.alias("a"), base.alias("b")
+    return (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"),
+                F.round(cosine(F.col("a.vec"), F.col("b.vec")), 6).alias("cos"))
+        .filter(F.col("cos") >= threshold)
+    )
