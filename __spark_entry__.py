@@ -74,7 +74,7 @@ def entry(spark: SparkSession) -> DataFrame:
         (F.col("o_totalprice") / 1e6).alias("pri"),
     )
     cand = canonical_url_rows(raw, "raw_url", "image_id", "pri", cfg,
-                              [F.col("pri").desc(), F.col("image_id").asc()])
+                              [F.col("image_id")])
     scheduled = topk_per_host(cand.withColumn("budget", F.lit(5).cast("long")), cfg)
     return scheduled.select("host", "url", "urlhash", F.round("priority", 6).alias("priority")) \
                     .orderBy(F.col("priority").desc(), F.col("urlhash").asc())

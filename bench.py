@@ -1,0 +1,77 @@
+"""Benchmark harness — run headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], print ONE
+JSON line:
+
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ...,
+   "crawl": {...urls-scheduled/sec detail...}}
+
+The crawl-scheduling round (the north_rule metric) runs on a synthetic
+JVM-generated frontier sized ~2M URLs; the relational/dedup/similarity
+headliners run on the sf-dir parquet. Scaling-efficiency evidence
+(local[8] vs local[32]) is produced by scripts/scaling_bench.py into
+BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from hyperion_crawler_spark.config import get_spark  # noqa: E402
+from hyperion_crawler_spark.plans.bench_workload import run_scheduling_round  # noqa: E402
+
+BENCH_QUERIES = [
+    "q01_first_wins_dedup",
+    "q03_topk_per_key",
+    "q09_merge_upsert",
+    "q13_fk_semi_anti",
+    "q16_ngram_jaccard",
+    "q19_simhash",
+    "q20_embedding_topk",
+    "q22_text_quality",
+]
+
+CRAWL_BENCH_URLS = int(os.environ.get("BENCH_CRAWL_URLS", 2_000_000))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    spark = get_spark(app="hyperion-bench")
+
+    import __spark_entry__ as E
+
+    qs = E.queries()
+    times: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        df = qs[name](spark, sf_dir)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    crawl = run_scheduling_round(spark, CRAWL_BENCH_URLS)
+    times["crawl_sched_round"] = round(crawl["sec"], 3)
+
+    total = round(sum(times.values()), 3)
+    print(json.dumps({
+        "metric": "crawl_sched_round_plus_headline_queries",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "crawl": {
+            "n_input_urls": crawl["n_input"],
+            "n_scheduled": crawl["n_scheduled"],
+            "urls_scheduled_per_sec": round(crawl["urls_per_sec"]),
+        },
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

