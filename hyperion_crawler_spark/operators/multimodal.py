@@ -1,0 +1,127 @@
+"""Multimodal column operators — image/audio/video as opaque binary
+columns with typed metadata (training-data-pipeline requirement).
+
+Design: payloads stay ``BinaryType``; every transform is a
+``mapInPandas`` kernel over Arrow batches (pixel math in numpy). The
+container has no real codec libraries, so REAL-format decode is stubbed
+exactly like the reference stubs unfinished sources
+(/root/reference/api/src/etl/dart/extractor.py:19-50 — returns empty
+with a TODO): the HY deterministic codec exercises the full plumbing
+(schema, batching, partitioning, column pruning) and ``decode_real``
+raises ``NotImplementedError`` until an image lib is present.
+
+Column-pruning discipline (SURVEY §7 "what's hard" #4): callers must
+``select`` the binary column ONLY into these kernels; every output
+drops ``bytes`` unless the kernel's job is to produce new bytes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from ..functions.images import decode, encode, phash64
+
+IMAGE_STATS_SCHEMA = (
+    "image_id string, w int, h int, fmt string, "
+    "mean_r double, mean_g double, mean_b double, brightness double, phash long"
+)
+
+
+def image_stats(corpus: DataFrame) -> DataFrame:
+    """Decode → per-channel means + brightness + phash. One pass over
+    the binary column; output is narrow (no bytes)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                px = decode(bytes(r.bytes)).astype(np.float64)
+                means = px.mean(axis=(0, 1))
+                rows.append((r.image_id, int(r.w), int(r.h), r.fmt,
+                             round(float(means[0]), 4), round(float(means[1]), 4),
+                             round(float(means[2]), 4), round(float(means.mean()), 4),
+                             phash64(px.astype(np.uint8))))
+            yield pd.DataFrame(rows, columns=["image_id", "w", "h", "fmt", "mean_r",
+                                              "mean_g", "mean_b", "brightness", "phash"])
+
+    return corpus.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
+        kernel, IMAGE_STATS_SCHEMA)
+
+
+RESIZE_SCHEMA = "image_id string, bytes binary, w int, h int, fmt string"
+
+
+def resize(corpus: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Block-mean resize (deterministic, numpy) re-encoded with the same
+    fmt — the thumbnail/normalize stage of an image training pipeline."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                px = decode(bytes(r.bytes))
+                h, w = px.shape[:2]
+                ys = (np.arange(out_h + 1) * h) // out_h
+                xs = (np.arange(out_w + 1) * w) // out_w
+                out = np.empty((out_h, out_w, 3), dtype=np.uint8)
+                for i in range(out_h):
+                    for j in range(out_w):
+                        out[i, j] = px[ys[i]:ys[i + 1], xs[j]:xs[j + 1]].mean(axis=(0, 1))
+                rows.append((r.image_id, encode(out, r.fmt), out_w, out_h, r.fmt))
+            yield pd.DataFrame(rows, columns=["image_id", "bytes", "w", "h", "fmt"])
+
+    return corpus.select("image_id", "bytes", "fmt").mapInPandas(kernel, RESIZE_SCHEMA)
+
+
+EMBED_SCHEMA = "image_id string, embedding array<float>"
+
+
+def image_embedding(corpus: DataFrame, dim: int = 64) -> DataFrame:
+    """Deterministic fake feature extractor: 8×8 block-mean gray grid
+    flattened + L2-normalized — the plumbing stand-in for a real vision
+    encoder (model inference would slot into this exact kernel shape:
+    binary in, fixed-dim float vector out, Arrow-batched)."""
+    side = int(dim ** 0.5)
+    assert side * side == dim
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, vecs = [], []
+            for r in pdf.itertuples(index=False):
+                px = decode(bytes(r.bytes)).astype(np.float64).mean(axis=2)
+                h, w = px.shape
+                ys = (np.arange(side + 1) * h) // side
+                xs = (np.arange(side + 1) * w) // side
+                cells = np.array([[px[ys[i]:ys[i + 1], xs[j]:xs[j + 1]].mean()
+                                   for j in range(side)] for i in range(side)])
+                v = cells.flatten()
+                n = np.linalg.norm(v)
+                ids.append(r.image_id)
+                vecs.append((v / n if n > 0 else v).astype(np.float32))
+            yield pd.DataFrame({"image_id": ids, "embedding": vecs})
+
+    return corpus.select("image_id", "bytes").mapInPandas(kernel, EMBED_SCHEMA)
+
+
+def frame_sample(video: DataFrame, every_n: int = 10) -> DataFrame:
+    """Video frame sampling — STUB: no video codec in this container.
+    The Spark-side contract (binary in → exploded frame rows out via
+    mapInPandas) is fixed here so a real decoder drops in."""
+    raise NotImplementedError(
+        "video decode requires a codec library absent from this container; "
+        "plumbing contract: video.mapInPandas(kernel, "
+        "'video_id string, frame_idx int, bytes binary')"
+    )
+
+
+def audio_features(audio: DataFrame) -> DataFrame:
+    """Audio feature extraction — STUB (no audio lib in container)."""
+    raise NotImplementedError(
+        "audio decode requires a codec library absent from this container; "
+        "plumbing contract: audio.mapInPandas(kernel, "
+        "'audio_id string, duration_s double, features array<float>')"
+    )

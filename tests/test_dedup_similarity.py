@@ -1,0 +1,122 @@
+"""Dedup suite + similarity search semantics: planted duplicates are
+found, LSH recall vs brute force is measured, hashes are portable."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from hyperion_crawler_spark.operators import dedup as DD
+from hyperion_crawler_spark.operators import similarity as SIM
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark, n=100):
+    return spark.read.parquet(f"{SF}/documents.parquet").filter(F.col("doc_id") < n) \
+        .select("doc_id", "text")
+
+
+def _with_variants(d):
+    v = d.select((F.col("doc_id") + 100000).alias("doc_id"),
+                 F.expr("substring(text, instr(text, ' ') + 1)").alias("text"))
+    return d.unionByName(v)
+
+
+def test_exact_dedup_finds_planted_dups(spark):
+    d = _docs(spark, 50)
+    dups = d.withColumn("doc_id", F.col("doc_id") + 1000)
+    out = DD.exact_dedup(d.unionByName(dups), "doc_id", "text")
+    assert out.count() == 50
+    # first-wins: the lower doc_id survives
+    assert out.agg(F.max("doc_id")).first()[0] < 1000
+
+
+def test_portable_hash60_matches_python(spark):
+    import hashlib
+
+    rows = spark.createDataFrame([("abc",), ("", ), ("word salad",)], "s string") \
+        .select("s", DD.portable_hash60(F.col("s")).alias("h")).collect()
+    for r in rows:
+        want = int(hashlib.sha256(r["s"].encode()).hexdigest()[:15], 16)
+        assert r["h"] == want
+
+
+def test_ngram_jaccard_planted_pairs(spark):
+    d = _with_variants(_docs(spark, 50))
+    pairs = DD.ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5).collect()
+    found = {(r["id1"], r["id2"]) for r in pairs}
+    # every doc must pair with its drop-first-token variant
+    planted = {(i, i + 100000) for i in range(50)}
+    assert planted <= found
+    for r in pairs:
+        assert 0.5 <= r["jaccard"] <= 1.0
+
+
+def test_minhash_lsh_recall_vs_exact(spark):
+    d = _with_variants(_docs(spark, 60))
+    exact = {(r["id1"], r["id2"])
+             for r in DD.ngram_jaccard_pairs(d, "doc_id", "text", 3, 0.5).collect()}
+    lsh = {(r["id1"], r["id2"])
+           for r in DD.minhash_lsh_pairs(d, "doc_id", "text", 0.5).collect()}
+    assert lsh <= exact, "LSH pairs are verified exactly — no false positives"
+    recall = len(lsh & exact) / len(exact)
+    assert recall >= 0.9, f"LSH recall {recall} too low for ~0.95-jaccard planted dups"
+
+
+def test_simhash_near_for_variants_far_for_random(spark):
+    d = _with_variants(_docs(spark, 40))
+    sh = {r["doc_id"]: r["simhash"] for r in DD.simhash_df(d, "doc_id", "text").collect()}
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    near = [ham(sh[i], sh[i + 100000]) for i in range(40)]
+    assert np.mean(near) <= 6, "drop-one-token variant must be simhash-near"
+
+
+def test_brute_force_topk_self_consistency(spark):
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 5)
+    out = SIM.brute_force_topk(q, e, k=3).collect()
+    assert len(out) == 15
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["q_id"], []).append(r)
+    for rows in by_q.values():
+        rows.sort(key=lambda r: r["rank"])
+        cs = [r["cos"] for r in rows]
+        assert cs == sorted(cs, reverse=True)
+        assert all(-1.0001 <= c <= 1.0001 for c in cs)
+
+
+def test_lsh_ann_recall_at_k(spark):
+    e = spark.read.parquet(f"{SF}/embeddings.parquet").limit(300)
+    q = e.filter(F.col("vec_id") % 50 == 0)
+    exact = SIM.brute_force_topk(q, e, k=5).collect()
+    ann = SIM.lsh_bucket_topk(q, e, dim=64, k=5, n_planes=4, n_tables=8).collect()
+    ex = {}
+    for r in exact:
+        ex.setdefault(r["q_id"], set()).add(r["n_id"])
+    an = {}
+    for r in ann:
+        an.setdefault(r["q_id"], set()).add(r["n_id"])
+    recalls = [len(ex[qid] & an.get(qid, set())) / len(ex[qid]) for qid in ex]
+    # random gaussian-ish vectors bucket diffusely; 4 planes / 16 buckets
+    # on 300 vectors should still recover a fair share of true neighbors
+    assert np.mean(recalls) >= 0.5, f"ANN recall@5 {np.mean(recalls):.2f} degenerate"
+
+
+def test_embedding_near_dup_planted(spark):
+    e = spark.read.parquet(f"{SF}/embeddings.parquet").filter(F.col("vec_id") < 50) \
+        .select("vec_id", "embedding")
+    pert = e.select((F.col("vec_id") + 100000).alias("vec_id"),
+                    F.transform("embedding", lambda x: x.cast("double") + 0.01).alias("embedding"))
+    pairs = SIM.embedding_near_dup_pairs(e.unionByName(pert), threshold=0.9)
+    found = {(r["id1"], r["id2"]) for r in pairs.collect()}
+    planted = {(i, i + 100000) for i in range(50)}
+    # +0.01/dim barely moves direction (cos ~1) but can flip a sign bit
+    # when a vector lies near a hyperplane — single-table LSH recall is
+    # p = Π(1 - θ_i/π) < 1 by construction; most pairs must survive
+    recall = len(planted & found) / len(planted)
+    assert recall >= 0.6, f"near-dup LSH recall {recall}"
+    for r in pairs.collect():
+        assert r["cos"] >= 0.9

@@ -1,0 +1,54 @@
+"""Multimodal plumbing over the synthetic image corpus."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from hyperion_crawler_spark.functions.images import decode, make_pixels
+from hyperion_crawler_spark.operators import multimodal as MM
+
+
+def test_image_stats(spark, fixture_dfs):
+    corpus = fixture_dfs["corpus"].limit(50)
+    stats = MM.image_stats(corpus).collect()
+    assert len(stats) == 50
+    by_id = {r["image_id"]: r for r in stats}
+    for r in corpus.select("image_id", "w", "h").limit(5).collect():
+        px = make_pixels(r["image_id"], r["w"], r["h"]).astype(np.float64)
+        got = by_id[r["image_id"]]
+        # lossy codec shifts means by < q/2
+        assert abs(got["brightness"] - px.mean()) < 2.5
+        assert got["w"] == r["w"] and got["h"] == r["h"]
+
+
+def test_resize_shapes_and_determinism(spark, fixture_dfs):
+    corpus = fixture_dfs["corpus"].limit(20)
+    out = MM.resize(corpus, 8, 8).collect()
+    assert all(r["w"] == 8 and r["h"] == 8 for r in out)
+    for r in out[:3]:
+        px = decode(bytes(r["bytes"]))
+        assert px.shape == (8, 8, 3)
+    again = {r["image_id"]: bytes(r["bytes"]) for r in MM.resize(corpus, 8, 8).collect()}
+    assert all(bytes(r["bytes"]) == again[r["image_id"]] for r in out)
+
+
+def test_image_embedding_normalized(spark, fixture_dfs):
+    corpus = fixture_dfs["corpus"].limit(30)
+    out = MM.image_embedding(corpus, dim=64).collect()
+    assert len(out) == 30
+    for r in out[:5]:
+        v = np.array(r["embedding"], dtype=np.float64)
+        assert v.shape == (64,)
+        assert abs(np.linalg.norm(v) - 1.0) < 1e-5
+
+
+def test_video_audio_stubbed(spark, fixture_dfs):
+    with pytest.raises(NotImplementedError):
+        MM.frame_sample(fixture_dfs["corpus"])
+    with pytest.raises(NotImplementedError):
+        MM.audio_features(fixture_dfs["corpus"])
+
+
+def test_bytes_pruned_from_stats_output(spark, fixture_dfs):
+    out = MM.image_stats(fixture_dfs["corpus"].limit(5))
+    assert "bytes" not in out.columns
