@@ -278,6 +278,57 @@ def q24_fingerprint(spark, sf):
              .groupBy("fp").agg(F.count("*").alias("n")))
 
 
+def q25_set_ops(spark, sf):
+    """§2.7 set operations: union ∪, intersect ∩, except \\ as one row
+    of counts (engine usage: new ∪ retry URLs; frontier minus seen)."""
+    o = _t(spark, sf, "orders").select("o_orderkey")
+    a = o.filter(F.col("o_orderkey") % 2 == 0)
+    b = o.filter(F.col("o_orderkey") % 3 == 0)
+    return spark.createDataFrame([(0,)], "dummy int").select(
+        F.lit(a.unionByName(b).distinct().count()).cast("long").alias("n_union"),
+        F.lit(a.intersect(b).count()).cast("long").alias("n_intersect"),
+        F.lit(a.exceptAll(b).count()).cast("long").alias("n_except"),
+    )
+
+
+def q26_rollup(spark, sf):
+    """A5 grouping sets: rollup over (status, priority)."""
+    o = _t(spark, sf, "orders")
+    return (o.rollup("o_orderstatus", "o_orderpriority")
+             .agg(F.count("*").alias("n"),
+                  _pround(F.sum("o_totalprice"), 2).alias("sum_total")))
+
+
+def q27_parse_symbols(spark, sf):
+    """F11 parse_symbols: CSV split → trim → upper → explode → counts."""
+    ev = _t(spark, sf, "events")
+    syms = F.transform(F.split(F.concat(F.col("event_type"), F.lit(", extra , pad")), ","),
+                       lambda x: F.upper(F.trim(x)))
+    return (ev.select(F.explode(syms).alias("sym"))
+              .groupBy("sym").agg(F.count("*").alias("n")))
+
+
+def q28_rating_normalize(spark, sf):
+    """F7 normalize_rating: lowercase, space/dash→underscore, literal
+    map lookup with pass-through default."""
+    ev = _t(spark, sf, "events")
+    norm = F.translate(F.lower(F.col("event_type")), " -", "__")
+    mapping = {"click": "engage", "view": "engage", "purchase": "convert"}
+    m = F.create_map(*[F.lit(x) for kv in mapping.items() for x in kv])
+    return (ev.select(F.coalesce(m[norm], norm).alias("rating_class"))
+              .groupBy("rating_class").agg(F.count("*").alias("n")))
+
+
+def q29_distinct_counts(spark, sf):
+    """A5 distinct aggregation + F12/F13 deterministic task-id stamp."""
+    li = _t(spark, sf, "lineitem")
+    return (li.groupBy("l_returnflag")
+              .agg(F.countDistinct("l_partkey").alias("n_parts"),
+                   F.countDistinct("l_orderkey", "l_linenumber").alias("n_lines"))
+              .withColumn("task_id", F.concat_ws("_", F.lit("market"), F.lit("daily"),
+                                                 F.col("l_returnflag"))))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_first_wins_dedup": q01_first_wins_dedup,
@@ -304,6 +355,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q22_text_quality": q22_text_quality,
         "q23_lang_id": q23_lang_id,
         "q24_fingerprint": q24_fingerprint,
+        "q25_set_ops": q25_set_ops,
+        "q26_rollup": q26_rollup,
+        "q27_parse_symbols": q27_parse_symbols,
+        "q28_rating_normalize": q28_rating_normalize,
+        "q29_distinct_counts": q29_distinct_counts,
     }
 
 
@@ -632,5 +688,42 @@ def oracle_sql() -> dict[str, str]:
             SELECT sha256(substr(lower(regexp_replace(text, '\\s+', ' ', 'g')), 1, 64)) AS fp,
                    count(*) AS n
             FROM documents GROUP BY fp
+        """,
+        "q25_set_ops": """
+            WITH a AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 2 = 0),
+                 b AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 3 = 0)
+            SELECT
+              (SELECT count(*) FROM (SELECT o_orderkey FROM a UNION SELECT o_orderkey FROM b)) AS n_union,
+              (SELECT count(*) FROM (SELECT o_orderkey FROM a INTERSECT SELECT o_orderkey FROM b)) AS n_intersect,
+              (SELECT count(*) FROM (SELECT o_orderkey FROM a EXCEPT ALL SELECT o_orderkey FROM b)) AS n_except
+        """,
+        "q26_rollup": """
+            SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+                   floor(sum(o_totalprice) * 100.0 + 0.5) / 100.0 AS sum_total
+            FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        """,
+        "q27_parse_symbols": """
+            SELECT sym, count(*) AS n
+            FROM (SELECT unnest(list_transform(
+                     string_split(concat(event_type, ', extra , pad'), ','),
+                     x -> upper(trim(x)))) AS sym
+                  FROM events)
+            GROUP BY sym
+        """,
+        "q28_rating_normalize": """
+            WITH n AS (SELECT replace(replace(lower(event_type), ' ', '_'), '-', '_') AS norm
+                       FROM events)
+            SELECT coalesce(CASE norm WHEN 'click' THEN 'engage'
+                                      WHEN 'view' THEN 'engage'
+                                      WHEN 'purchase' THEN 'convert' END,
+                            norm) AS rating_class, count(*) AS n
+            FROM n GROUP BY rating_class
+        """,
+        "q29_distinct_counts": """
+            SELECT l_returnflag,
+                   count(DISTINCT l_partkey) AS n_parts,
+                   count(DISTINCT (l_orderkey, l_linenumber)) AS n_lines,
+                   concat_ws('_', 'market', 'daily', l_returnflag) AS task_id
+            FROM lineitem GROUP BY l_returnflag
         """,
     }
