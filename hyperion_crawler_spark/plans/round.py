@@ -83,7 +83,7 @@ def init_frontier(spark: SparkSession, cat, cfg: CrawlConfig, seeds: DataFrame) 
         seeds, "url", "image_id", "priority", cfg, [F.col("image_id")],
     )
     empty_filters = spark.createDataFrame([], "shard int, filter_bytes binary, n_items long")
-    unseen, filters = probe_and_update(cand, empty_filters, cfg)
+    unseen, filters, probe_cache = probe_and_update(cand, empty_filters, cfg)
     rows = (
         unseen.withColumn("status", F.lit("queued"))
         .withColumn("retry_count", F.lit(0))
@@ -94,10 +94,12 @@ def init_frontier(spark: SparkSession, cat, cfg: CrawlConfig, seeds: DataFrame) 
     versions = {
         "frontier": frontier_t.overwrite(rows),
         "seen_filters": seen_t.overwrite(filters),
-        "seen_exact": seen_exact_t.overwrite(unseen.select("urlhash", "shard")),
     }
+    if cfg.exact_seen_shadow:
+        versions["seen_exact"] = seen_exact_t.overwrite(unseen.select("urlhash", "shard"))
     cat.commit_round(0, versions)
     n = rows.count()
+    probe_cache.unpersist()
     return {"round": 0, "seeded": n}
 
 
@@ -139,7 +141,7 @@ def run_round(spark: SparkSession, cat, cfg: CrawlConfig, round_idx: int,
     current_filters = seen_t.read(spark)
     if current_filters is None:
         current_filters = spark.createDataFrame([], "shard int, filter_bytes binary, n_items long")
-    unseen, new_filters = probe_and_update(cand, current_filters, cfg)
+    unseen, new_filters, probe_cache = probe_and_update(cand, current_filters, cfg)
     unseen = unseen.persist()
 
     # --- frontier state transitions ----------------------------------
@@ -173,12 +175,16 @@ def run_round(spark: SparkSession, cat, cfg: CrawlConfig, round_idx: int,
         .unionByName(new_rows.select(*FRONTIER_COLS))
     )
 
-    # --- metrics / lineage (per output partition, task_log.py analog) -
-    n_sched = scheduled.count()
-    n_fetched = fetched.count()
-    n_failed = results.filter(F.col("status") == "failed").count()
-    n_cand = cand.count()
-    n_unseen = unseen.count()
+    # --- metrics: ONE multi-aggregate job over the persisted frames
+    # (replaces five separate count() actions — driver round-trips are
+    # the fixed cost of a round at small scale and on a real cluster)
+    mrow = results.agg(
+        F.count("*").alias("n_sched"),
+        F.sum(F.when(F.col("status") == "fetched", 1).otherwise(0)).alias("n_fetched"),
+        F.sum(F.when(F.col("status") == "failed", 1).otherwise(0)).alias("n_failed"),
+    ).crossJoin(cand.agg(F.count("*").alias("n_cand")))      .crossJoin(unseen.agg(F.count("*").alias("n_unseen"))).first()
+    n_sched, n_fetched, n_failed = mrow["n_sched"], mrow["n_fetched"], mrow["n_failed"]
+    n_cand, n_unseen = mrow["n_cand"], mrow["n_unseen"]
     lineage = (
         results.groupBy(F.spark_partition_id().alias("partition_id"))
         .agg(
@@ -202,12 +208,13 @@ def run_round(spark: SparkSession, cat, cfg: CrawlConfig, round_idx: int,
                            "psnr_db", "caption_ok", "phash", "caption")),
         "frontier": frontier_t.merge(spark, frontier_merge, ["urlhash"]),
         "seen_filters": seen_t.merge(spark, new_filters, ["shard"]),
-        "seen_exact": seen_exact_t.append(unseen.select("urlhash", "shard")),
         "lineage": lineage_t.append(lineage),
     }
+    if cfg.exact_seen_shadow:
+        versions["seen_exact"] = seen_exact_t.append(unseen.select("urlhash", "shard"))
     cat.commit_round(round_idx, versions)
 
-    for df in (scheduled, results, cand, unseen):
+    for df in (scheduled, results, cand, unseen, probe_cache):
         df.unpersist()
     return {
         "round": round_idx, "scheduled": n_sched, "fetched": n_fetched,

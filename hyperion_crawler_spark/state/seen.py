@@ -92,8 +92,8 @@ def _probe_kernel(cfg: CrawlConfig):
 
 
 def probe_and_update(candidates: DataFrame, filters: DataFrame, cfg: CrawlConfig
-                     ) -> tuple[DataFrame, DataFrame]:
-    """Returns (unseen_candidates, updated_filters).
+                     ) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Returns (unseen_candidates, updated_filters, cached_handle).
 
     ``candidates`` must carry (shard, urlhash, url, host, image_id,
     priority) and be pre-deduped within the batch (first-wins — the
@@ -110,4 +110,5 @@ def probe_and_update(candidates: DataFrame, filters: DataFrame, cfg: CrawlConfig
     unseen = out.filter(F.col("kind") == "url").select(
         "shard", "urlhash", "url", "host", "image_id", "priority")
     new_filters = out.filter(F.col("kind") == "filter").select("shard", "filter_bytes", "n_items")
-    return unseen, new_filters
+    # caller must unpersist the returned handle after its writes commit
+    return unseen, new_filters, out

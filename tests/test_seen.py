@@ -17,7 +17,7 @@ def _cands(spark, hashes, cfg):
 
 def test_probe_empty_state_passes_all(spark, crawl_cfg):
     empty = spark.createDataFrame([], "shard int, filter_bytes binary, n_items long")
-    unseen, filters = probe_and_update(_cands(spark, range(100), crawl_cfg), empty, crawl_cfg)
+    unseen, filters, _c = probe_and_update(_cands(spark, range(100), crawl_cfg), empty, crawl_cfg)
     assert unseen.count() == 100
     f = filters.collect()
     assert sum(r["n_items"] for r in f) == 100
@@ -27,14 +27,14 @@ def test_probe_empty_state_passes_all(spark, crawl_cfg):
 def test_no_false_negatives_and_exact_parity(spark, crawl_cfg):
     empty = spark.createDataFrame([], "shard int, filter_bytes binary, n_items long")
     first = list(range(0, 500))
-    _, filters = probe_and_update(_cands(spark, first, crawl_cfg), empty, crawl_cfg)
+    _, filters, _c = probe_and_update(_cands(spark, first, crawl_cfg), empty, crawl_cfg)
     filters = filters.persist()
     # re-probe same keys: ALL must be seen (no false negatives)
-    again, _ = probe_and_update(_cands(spark, first, crawl_cfg), filters, crawl_cfg)
+    again, _, _c2 = probe_and_update(_cands(spark, first, crawl_cfg), filters, crawl_cfg)
     assert again.count() == 0
     # fresh keys: at this scale bloom must agree with exact set (FPR ~0)
     fresh = list(range(10_000, 10_500))
-    unseen2, _ = probe_and_update(_cands(spark, fresh, crawl_cfg), filters, crawl_cfg)
+    unseen2, _, _c3 = probe_and_update(_cands(spark, fresh, crawl_cfg), filters, crawl_cfg)
     assert unseen2.count() == len(fresh)
     filters.unpersist()
 
@@ -43,12 +43,12 @@ def test_untouched_shard_blob_carried_forward(spark, crawl_cfg):
     empty = spark.createDataFrame([], "shard int, filter_bytes binary, n_items long")
     # keys only in shard 0
     keys0 = [h for h in range(2000) if h % crawl_cfg.n_shards == 0][:50]
-    _, f1 = probe_and_update(_cands(spark, keys0, crawl_cfg), empty, crawl_cfg)
+    _, f1, _c4 = probe_and_update(_cands(spark, keys0, crawl_cfg), empty, crawl_cfg)
     f1 = f1.persist()
     blob0 = {r["shard"]: (r["filter_bytes"], r["n_items"]) for r in f1.collect()}
     # now probe keys only in shard 1; shard 0's blob must carry unchanged
     keys1 = [h for h in range(2000) if h % crawl_cfg.n_shards == 1][:50]
-    _, f2 = probe_and_update(_cands(spark, keys1, crawl_cfg), f1, crawl_cfg)
+    _, f2, _c5 = probe_and_update(_cands(spark, keys1, crawl_cfg), f1, crawl_cfg)
     blobs2 = {r["shard"]: (r["filter_bytes"], r["n_items"]) for r in f2.collect()}
     assert blobs2[0] == blob0[0]
     assert blobs2[1][1] == 50
@@ -59,5 +59,5 @@ def test_within_batch_duplicates_survive_probe(spark, crawl_cfg):
     # probe dedups ACROSS rounds only; batch dedup is the caller's
     # first-wins row_number (reference: loader.py:188-209)
     empty = spark.createDataFrame([], "shard int, filter_bytes binary, n_items long")
-    unseen, _ = probe_and_update(_cands(spark, [7, 7], crawl_cfg), empty, crawl_cfg)
+    unseen, _, _c6 = probe_and_update(_cands(spark, [7, 7], crawl_cfg), empty, crawl_cfg)
     assert unseen.count() >= 1
