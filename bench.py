@@ -23,7 +23,10 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from hyperion_crawler_spark.config import get_spark  # noqa: E402
-from hyperion_crawler_spark.plans.bench_workload import run_scheduling_round  # noqa: E402
+from hyperion_crawler_spark.plans.bench_workload import (  # noqa: E402
+    run_full_round,
+    run_scheduling_round,
+)
 
 BENCH_QUERIES = [
     "q01_first_wins_dedup",
@@ -56,6 +59,8 @@ def main() -> None:
 
     crawl = run_scheduling_round(spark, CRAWL_BENCH_URLS)
     times["crawl_sched_round"] = round(crawl["sec"], 3)
+    full = run_full_round(spark, int(os.environ.get("BENCH_FULL_ROUND_URLS", 100_000)))
+    times["crawl_full_round"] = round(full["sec"], 3)
 
     total = round(sum(times.values()), 3)
     print(json.dumps({
@@ -68,6 +73,10 @@ def main() -> None:
             "n_input_urls": crawl["n_input"],
             "n_scheduled": crawl["n_scheduled"],
             "urls_scheduled_per_sec": round(crawl["urls_per_sec"]),
+            "full_round_urls": full["n_input"],
+            "full_round_scheduled": full["n_scheduled"],
+            "full_round_fetched": full["n_fetched"],
+            "full_round_urls_per_sec": round(full["urls_per_sec"]),
         },
     }))
     spark.stop()

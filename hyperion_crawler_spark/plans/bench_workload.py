@@ -27,6 +27,52 @@ from ..synth import gen_frontier_distributed
 from ..plans.round import canonical_url_rows
 
 
+def run_full_round(spark: SparkSession, n_urls: int, n_hosts: int = 2000,
+                   store_dir: str | None = None, cfg: CrawlConfig | None = None) -> dict:
+    """One COMPLETE crawl round — scheduling + corpus-join fetch with
+    per-row PSNR/caption validation + Bloom probe + all snapshot MERGEs
+    — over a synthetic corpus of ``n_urls`` image+caption rows. The
+    end-to-end URLs/sec number (scheduling-only throughput is measured
+    separately by run_scheduling_round)."""
+    import tempfile
+
+    from pyspark.sql import functions as F2
+
+    from ..plans.loop import run_crawl
+    from ..synth import gen_corpus_distributed
+
+    cfg = cfg or CrawlConfig(exact_seen_shadow=False)
+    store = store_dir or tempfile.mkdtemp(prefix="hyperion_bench_store_")
+
+    corpus = gen_corpus_distributed(spark, n_urls).persist()
+    corpus.count()
+    seeds = gen_frontier_distributed(spark, n_urls, n_hosts).select(
+        "url", "image_id", "priority").persist()
+    seeds.count()
+    links = spark.createDataFrame(
+        [], "src_url string, dst_url string, dst_image_id string, dst_priority double")
+    robots = spark.createDataFrame(
+        [], "host string, disallow_prefixes array<string>, crawl_delay_s double, max_per_round int")
+
+    # bootstrap (seed probe + initial snapshot) is one-time cost — keep
+    # it out of the steady-state round timing
+    run_crawl(spark, store, cfg, corpus, links, robots, seeds, n_rounds=0)
+    t0 = time.perf_counter()
+    metrics = run_crawl(spark, store, cfg, corpus, links, robots, seeds, n_rounds=1)
+    dt = time.perf_counter() - t0
+    corpus.unpersist()
+    seeds.unpersist()
+    m = metrics[-1]
+    return {
+        "n_input": n_urls,
+        "n_scheduled": m["scheduled"],
+        "n_fetched": m["fetched"],
+        "sec": dt,
+        "urls_per_sec": m["scheduled"] / dt,
+        "timing": m.get("timing", {}),
+    }
+
+
 def run_scheduling_round(spark: SparkSession, n_urls: int, n_hosts: int = 2000,
                          budget: int = 50, cfg: CrawlConfig | None = None) -> dict:
     cfg = cfg or CrawlConfig()

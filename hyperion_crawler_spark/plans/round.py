@@ -22,6 +22,8 @@ Timeline: 1 round = 60 s of politeness budget (ROUND_SECONDS);
 
 from __future__ import annotations
 
+import time
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -112,6 +114,13 @@ def run_round(spark: SparkSession, cat, cfg: CrawlConfig, round_idx: int,
     results_t = cat.table("results", "round")
     lineage_t = cat.table("lineage", "round")
 
+    timing: dict[str, float] = {}
+
+    def _mark(label, t0):
+        timing[label] = round(time.perf_counter() - t0, 2)
+        return time.perf_counter()
+
+    t = time.perf_counter()
     round_ts = int(round_idx * ROUND_SECONDS)
     frontier = frontier_t.read(spark)
     eligible = frontier.filter(
@@ -169,15 +178,18 @@ def run_round(spark: SparkSession, cat, cfg: CrawlConfig, round_idx: int,
         F.lit("queued").alias("status"), F.lit(0).alias("retry_count"),
         F.lit(0).cast("long").alias("next_fetch_ts"), F.lit(round_idx).alias("discovered_round"),
     )
+    # persisted: SnapshotTable.merge evaluates its source three times
+    # (partition values, anti-join key set, union write)
     frontier_merge = (
         res_updates.select(*FRONTIER_COLS)
         .unionByName(excl_updates.select(*FRONTIER_COLS))
         .unionByName(new_rows.select(*FRONTIER_COLS))
-    )
+    ).persist()
 
     # --- metrics: ONE multi-aggregate job over the persisted frames
     # (replaces five separate count() actions — driver round-trips are
     # the fixed cost of a round at small scale and on a real cluster)
+    t = _mark("plan_build", t)
     mrow = results.agg(
         F.count("*").alias("n_sched"),
         F.sum(F.when(F.col("status") == "fetched", 1).otherwise(0)).alias("n_fetched"),
@@ -185,6 +197,7 @@ def run_round(spark: SparkSession, cat, cfg: CrawlConfig, round_idx: int,
     ).crossJoin(cand.agg(F.count("*").alias("n_cand")))      .crossJoin(unseen.agg(F.count("*").alias("n_unseen"))).first()
     n_sched, n_fetched, n_failed = mrow["n_sched"], mrow["n_fetched"], mrow["n_failed"]
     n_cand, n_unseen = mrow["n_cand"], mrow["n_unseen"]
+    t = _mark("compute_metrics", t)
     lineage = (
         results.groupBy(F.spark_partition_id().alias("partition_id"))
         .agg(
@@ -201,23 +214,26 @@ def run_round(spark: SparkSession, cat, cfg: CrawlConfig, round_idx: int,
     )
 
     # --- commits (snapshot per table; round commit = checkpoint) ----
-    versions = {
-        "results": results_t.append(
-            results.select("urlhash", "url", "host", "image_id",
-                           F.lit(round_idx).alias("round"), "status",
-                           "psnr_db", "caption_ok", "phash", "caption")),
-        "frontier": frontier_t.merge(spark, frontier_merge, ["urlhash"]),
-        "seen_filters": seen_t.merge(spark, new_filters, ["shard"]),
-        "lineage": lineage_t.append(lineage),
-    }
+    versions = {}
+    versions["results"] = results_t.append(
+        results.select("urlhash", "url", "host", "image_id",
+                       F.lit(round_idx).alias("round"), "status",
+                       "psnr_db", "caption_ok", "phash", "caption"))
+    t = _mark("write_results", t)
+    versions["frontier"] = frontier_t.merge(spark, frontier_merge, ["urlhash"])
+    t = _mark("merge_frontier", t)
+    versions["seen_filters"] = seen_t.merge(spark, new_filters, ["shard"])
+    t = _mark("merge_seen", t)
+    versions["lineage"] = lineage_t.append(lineage)
+    t = _mark("write_lineage", t)
     if cfg.exact_seen_shadow:
         versions["seen_exact"] = seen_exact_t.append(unseen.select("urlhash", "shard"))
     cat.commit_round(round_idx, versions)
 
-    for df in (scheduled, results, cand, unseen, probe_cache):
+    for df in (scheduled, results, cand, unseen, probe_cache, frontier_merge):
         df.unpersist()
     return {
         "round": round_idx, "scheduled": n_sched, "fetched": n_fetched,
         "failed": n_failed, "discovered": n_cand, "new_urls": n_unseen,
-        "deduped": n_cand - n_unseen,
+        "deduped": n_cand - n_unseen, "timing": timing,
     }

@@ -143,6 +143,34 @@ def write_fixture_parquet(fixture: dict[str, pd.DataFrame], outdir: str) -> None
         pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), f"{outdir}/{name}.parquet")
 
 
+def gen_corpus_distributed(spark, n_images: int, dims=(16, 32), fmts=("hypng", "hyjpg")):
+    """Bench-scale corpus generator: image encode runs as a mapInPandas
+    kernel so the (Python) codec parallelizes across cores — corpus
+    synthesis stays off the measured path but must not take minutes
+    either. Deterministic per image_id (same codec as gen_fixture)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from . import schemas as S
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                image_id = f"img{i:010d}"
+                w = dims[i % len(dims)]
+                h = dims[(i // len(dims)) % len(dims)]
+                fmt = fmts[i % len(fmts)]
+                px = make_pixels(image_id, w, h)
+                rows.append((image_id, encode(px, fmt), w, h, fmt,
+                             f"caption of {image_id} in en", phash64(px)))
+            yield pd.DataFrame(rows, columns=["image_id", "bytes", "w", "h", "fmt",
+                                              "caption", "phash"])
+
+    return spark.range(n_images).repartition(64).mapInPandas(
+        kernel, S.CORPUS)
+
+
 def gen_frontier_distributed(spark, n_urls: int, n_hosts: int = 1000, n_seen: int = 0):
     """Bench-scale frontier generator — pure Catalyst (spark.range +
     builtin functions, zero Python), so generating 10^7+ candidate URLs
