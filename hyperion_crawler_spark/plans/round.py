@@ -154,6 +154,12 @@ def run_round(spark: SparkSession, cat, cfg: CrawlConfig, round_idx: int,
     unseen = unseen.persist()
 
     # --- frontier state transitions ----------------------------------
+    # The frontier holds PENDING work only (the 10^10-scale invariant:
+    # each round's MERGE cost ∝ active queue, not all-URLs-ever).
+    # Terminal rows — fetched, quarantined, retry-exhausted, robots-
+    # excluded — are DELETEd from the frontier and appended to the
+    # append-only `archive`; the seen filter already guarantees they
+    # can never re-enter.
     backoff = (F.lit(cfg.backoff_initial)
                * F.pow(F.lit(float(cfg.backoff_multiplier)), F.col("retry_count"))).cast("long")
     res_updates = results.select(
@@ -167,7 +173,7 @@ def run_round(spark: SparkSession, cat, cfg: CrawlConfig, round_idx: int,
         F.when(F.col("status") == "failed", F.lit(round_ts) + backoff)
          .otherwise(F.lit(round_ts)).cast("long").alias("next_fetch_ts"),
         "discovered_round",
-    )
+    ).persist()
     excl_updates = excluded.select(
         "urlhash", "url", "host", "image_id", "shard", "priority",
         F.lit("excluded").alias("status"), "retry_count",
@@ -178,13 +184,17 @@ def run_round(spark: SparkSession, cat, cfg: CrawlConfig, round_idx: int,
         F.lit("queued").alias("status"), F.lit(0).alias("retry_count"),
         F.lit(0).cast("long").alias("next_fetch_ts"), F.lit(round_idx).alias("discovered_round"),
     )
+    retry_rows = res_updates.filter(F.col("status") == "queued")
+    terminal_rows = (res_updates.filter(F.col("status") != "queued")
+                     .unionByName(excl_updates.select(*FRONTIER_COLS)))
     # persisted: SnapshotTable.merge evaluates its source three times
     # (partition values, anti-join key set, union write)
     frontier_merge = (
-        res_updates.select(*FRONTIER_COLS)
-        .unionByName(excl_updates.select(*FRONTIER_COLS))
+        retry_rows.select(*FRONTIER_COLS)
         .unionByName(new_rows.select(*FRONTIER_COLS))
     ).persist()
+    archive_rows = terminal_rows.select(*FRONTIER_COLS) \
+        .withColumn("archived_round", F.lit(round_idx)).persist()
 
     # --- metrics: ONE multi-aggregate job over the persisted frames
     # (replaces five separate count() actions — driver round-trips are
@@ -220,8 +230,12 @@ def run_round(spark: SparkSession, cat, cfg: CrawlConfig, round_idx: int,
                        F.lit(round_idx).alias("round"), "status",
                        "psnr_db", "caption_ok", "phash", "caption"))
     t = _mark("write_results", t)
-    versions["frontier"] = frontier_t.merge(spark, frontier_merge, ["urlhash"])
+    versions["frontier"] = frontier_t.merge(
+        spark, frontier_merge, ["urlhash"],
+        delete_keys=archive_rows.select("urlhash", "shard"))
     t = _mark("merge_frontier", t)
+    versions["archive"] = cat.table("archive", "shard").append(archive_rows)
+    t = _mark("write_archive", t)
     versions["seen_filters"] = seen_t.merge(spark, new_filters, ["shard"])
     t = _mark("merge_seen", t)
     versions["lineage"] = lineage_t.append(lineage)
@@ -230,7 +244,8 @@ def run_round(spark: SparkSession, cat, cfg: CrawlConfig, round_idx: int,
         versions["seen_exact"] = seen_exact_t.append(unseen.select("urlhash", "shard"))
     cat.commit_round(round_idx, versions)
 
-    for df in (scheduled, results, cand, unseen, probe_cache, frontier_merge):
+    for df in (scheduled, results, cand, unseen, probe_cache,
+               res_updates, frontier_merge, archive_rows):
         df.unpersist()
     return {
         "round": round_idx, "scheduled": n_sched, "fetched": n_fetched,

@@ -163,28 +163,42 @@ class SnapshotTable:
         return self._commit(carried + self._write_data(df), meta)
 
     def merge(self, spark: SparkSession, source: DataFrame, keys: list[str],
-              meta: dict | None = None) -> int:
+              delete_keys: DataFrame | None = None, meta: dict | None = None) -> int:
         """MERGE INTO this USING source ON keys
-        WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *.
+        WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *,
+        plus WHEN MATCHED (delete_keys) THEN DELETE.
 
         Source rows win on key match (upsert — ON CONFLICT DO UPDATE,
-        base/loader.py:144-186). Only files whose partition stats
-        intersect the source's partition values are rewritten.
+        base/loader.py:144-186); ``delete_keys`` rows (same key columns,
+        plus the partition column for pruning) are removed — the
+        frontier uses this to retire fetched/terminal URLs so the
+        pending queue stays the working set, not all-URLs-ever. Only
+        files whose partition stats intersect the source's (and delete
+        set's) partition values are rewritten.
         """
         files = self._live_files()
         if not files:
             return self._commit(self._write_data(source), meta)
 
-        if self.partition_col is not None and self.partition_col in source.columns:
-            parts = [r[0] for r in source.select(self.partition_col).distinct().collect()]
-            keep, rewrite = self._prune(parts)
+        touch_cols = [source]
+        if delete_keys is not None:
+            touch_cols.append(delete_keys)
+        if self.partition_col is not None and all(
+                self.partition_col in d.columns for d in touch_cols):
+            parts = set()
+            for d in touch_cols:
+                parts.update(r[0] for r in d.select(self.partition_col).distinct().collect())
+            keep, rewrite = self._prune(sorted(parts))
         else:
             keep, rewrite = [], files
 
         new_entries = list(keep)
         if rewrite:
             target = spark.read.parquet(*[os.path.join(self.dir, f["path"]) for f in rewrite])
-            survivors = target.join(source.select(*keys).distinct(), keys, "left_anti")
+            gone = source.select(*keys)
+            if delete_keys is not None:
+                gone = gone.unionByName(delete_keys.select(*keys))
+            survivors = target.join(gone.distinct(), keys, "left_anti")
             merged = survivors.select(*target.columns).unionByName(source.select(*target.columns))
             new_entries += self._write_data(merged)
         else:

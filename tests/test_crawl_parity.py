@@ -32,15 +32,28 @@ def crawl_run(spark, fixture_dfs, fixture_pdf, crawl_cfg, tmp_path_factory):
     return store, metrics, oracle
 
 
+def _full_state(spark, store):
+    """frontier (pending) ∪ archive (terminal) — every URL ever enqueued."""
+    cat = Catalog(store)
+    fr = cat.table("frontier", "shard").read(spark)
+    ar = cat.table("archive", "shard").read(spark)
+    cols = ["urlhash", "url", "host", "image_id", "shard", "priority",
+            "status", "retry_count", "next_fetch_ts", "discovered_round"]
+    out = fr.select(*cols)
+    if ar is not None:
+        out = out.unionByName(ar.select(*cols))
+    return out
+
+
 def test_crawl_order_parity(spark, crawl_run):
     store, _, oracle = crawl_run
     results = Catalog(store).table("results", "round").read(spark)
+    state = _full_state(spark, store).select("urlhash", F.col("priority").alias("p"))
     for rnd in range(1, N_ROUNDS + 1):
         got = [
             r["urlhash"]
             for r in results.filter(F.col("round") == rnd)
-            .join(Catalog(store).table("frontier", "shard").read(spark)
-                  .select("urlhash", F.col("priority").alias("p")), "urlhash")
+            .join(state, "urlhash")
             .orderBy(F.col("p").desc(), F.col("urlhash").asc())
             .collect()
         ]
@@ -56,10 +69,13 @@ def test_seen_membership_parity(spark, crawl_run):
 
 def test_frontier_status_parity(spark, crawl_run):
     store, _, oracle = crawl_run
-    fr = Catalog(store).table("frontier", "shard").read(spark)
-    got = {r["urlhash"]: r["status"] for r in fr.collect()}
+    st = _full_state(spark, store)
+    got = {r["urlhash"]: r["status"] for r in st.collect()}
     want = {h: row["status"] for h, row in oracle.frontier.items()}
     assert got == want
+    # the frontier table itself must hold ONLY pending work
+    fr = Catalog(store).table("frontier", "shard").read(spark)
+    assert {r[0] for r in fr.select("status").distinct().collect()} <= {"queued"}
 
 
 def test_result_status_parity(spark, crawl_run):

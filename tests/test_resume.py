@@ -13,7 +13,8 @@ N_ROUNDS = 4
 def _state(spark, store):
     cat = Catalog(store)
     out = {}
-    for name, part in [("frontier", "shard"), ("seen_exact", "shard"), ("results", "round")]:
+    for name, part in [("frontier", "shard"), ("archive", "shard"),
+                       ("seen_exact", "shard"), ("results", "round")]:
         df = cat.table(name, part).read(spark)
         out[name] = sorted(tuple(r) for r in df.collect())
     # seen_filters blobs must match bit-for-bit

@@ -71,3 +71,14 @@ def test_round_checkpoint_log(tmp_path):
     cat.commit_round(1, {"frontier": 2, "results": 1})
     assert cat.last_round() == 1
     assert cat.completed_rounds()[1]["results"] == 1
+
+
+def test_merge_with_delete_keys(spark, tmp_path):
+    # frontier retire path: WHEN MATCHED (delete set) THEN DELETE
+    t = Catalog(str(tmp_path)).table("t6", "shard")
+    t.append(spark.createDataFrame(
+        [(1, 1, "a"), (2, 2, "b"), (3, 3, "c")], "k int, shard int, v string"))
+    src = spark.createDataFrame([(4, 4, "d"), (2, 2, "B")], "k int, shard int, v string")
+    dels = spark.createDataFrame([(3, 3)], "k int, shard int")
+    t.merge(spark, src, ["k"], delete_keys=dels)
+    assert _rows(t.read(spark)) == [(1, 1, "a"), (2, 2, "B"), (4, 4, "d")]
