@@ -16,14 +16,17 @@ from pyspark.sql import functions as F
 
 def normalize_date(col: Column, fmt: str = "yyyy-MM-dd") -> Column:
     """F1 — parse string/date → 'yyyy-MM-dd' string, null on failure.
+    ``try_to_date`` keeps the reference's None-on-parse-error contract
+    under Spark 4 ANSI mode (which makes plain to_date throw).
     Ref: normalize_date, api/src/etl/base/transformer.py:61-76."""
-    return F.date_format(F.to_date(col, fmt), "yyyy-MM-dd")
+    return F.date_format(F.try_to_timestamp(col, F.lit(fmt)).cast("date"), "yyyy-MM-dd")
 
 
 def clean_numeric(col: Column) -> Column:
-    """F2 — strip currency symbols/commas → double, null on failure.
+    """F2 — strip currency symbols/commas → double, null on failure
+    (try_cast for ANSI-mode null-on-error semantics).
     Ref: clean_numeric, api/src/etl/base/transformer.py:78-95."""
-    return F.regexp_replace(col.cast("string"), r"[,$₩]", "").cast("double")
+    return F.regexp_replace(col.cast("string"), r"[,$₩]", "").try_cast("double")
 
 
 def change_amount(close: Column, rate: Column) -> Column:
