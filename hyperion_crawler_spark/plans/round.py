@@ -121,8 +121,12 @@ def run_round(spark: SparkSession, cat, cfg: CrawlConfig, round_idx: int,
         return time.perf_counter()
 
     t = time.perf_counter()
+    # bind ALL reads and write-bases to the last checkpointed versions:
+    # a redo after a mid-round crash must not see (or compound) the
+    # crashed attempt's uncheckpointed snapshots
+    base = cat.base_versions()
     round_ts = int(round_idx * ROUND_SECONDS)
-    frontier = frontier_t.read(spark)
+    frontier = frontier_t.read(spark, version=base.get("frontier"))
     eligible = frontier.filter(
         (F.col("status") == "queued") & (F.col("next_fetch_ts") <= round_ts)
     )
@@ -147,7 +151,7 @@ def run_round(spark: SparkSession, cat, cfg: CrawlConfig, round_idx: int,
         [F.col("_src"), F.col("_image_id")],
     ).persist()
 
-    current_filters = seen_t.read(spark)
+    current_filters = seen_t.read(spark, version=base.get("seen_filters"))
     if current_filters is None:
         current_filters = spark.createDataFrame([], "shard int, filter_bytes binary, n_items long")
     unseen, new_filters, probe_cache = probe_and_update(cand, current_filters, cfg)
@@ -228,20 +232,25 @@ def run_round(spark: SparkSession, cat, cfg: CrawlConfig, round_idx: int,
     versions["results"] = results_t.append(
         results.select("urlhash", "url", "host", "image_id",
                        F.lit(round_idx).alias("round"), "status",
-                       "psnr_db", "caption_ok", "phash", "caption"))
+                       "psnr_db", "caption_ok", "phash", "caption"),
+        base_version=base.get("results", 0))
     t = _mark("write_results", t)
     versions["frontier"] = frontier_t.merge(
         spark, frontier_merge, ["urlhash"],
-        delete_keys=archive_rows.select("urlhash", "shard"))
+        delete_keys=archive_rows.select("urlhash", "shard"),
+        base_version=base.get("frontier"))
     t = _mark("merge_frontier", t)
-    versions["archive"] = cat.table("archive", "shard").append(archive_rows)
+    versions["archive"] = cat.table("archive", "shard").append(
+        archive_rows, base_version=base.get("archive", 0))
     t = _mark("write_archive", t)
-    versions["seen_filters"] = seen_t.merge(spark, new_filters, ["shard"])
+    versions["seen_filters"] = seen_t.merge(spark, new_filters, ["shard"],
+                                            base_version=base.get("seen_filters"))
     t = _mark("merge_seen", t)
-    versions["lineage"] = lineage_t.append(lineage)
+    versions["lineage"] = lineage_t.append(lineage, base_version=base.get("lineage", 0))
     t = _mark("write_lineage", t)
     if cfg.exact_seen_shadow:
-        versions["seen_exact"] = seen_exact_t.append(unseen.select("urlhash", "shard"))
+        versions["seen_exact"] = seen_exact_t.append(
+            unseen.select("urlhash", "shard"), base_version=base.get("seen_exact", 0))
     cat.commit_round(round_idx, versions)
 
     for df in (scheduled, results, cand, unseen, probe_cache,

@@ -91,7 +91,7 @@ class SnapshotTable:
 
     def _live_files(self, version: int | None = None) -> list[dict]:
         ver = version if version is not None else self.current_version()
-        if ver is None:
+        if ver is None or ver == 0:  # 0 = explicit "empty table" baseline
             return []
         return self._manifest(ver)["files"]
 
@@ -143,8 +143,13 @@ class SnapshotTable:
             return None
         return spark.read.parquet(*[os.path.join(self.dir, f["path"]) for f in files])
 
-    def append(self, df: DataFrame, meta: dict | None = None) -> int:
-        return self._commit(self._live_files() + self._write_data(df), meta)
+    def append(self, df: DataFrame, meta: dict | None = None,
+               base_version: int | None = None) -> int:
+        """Append on top of ``base_version`` (default: current). A round
+        that redoes work after a mid-round crash passes the last
+        CHECKPOINTED version so the crashed attempt's uncheckpointed
+        snapshot files are orphaned, not compounded."""
+        return self._commit(self._live_files(base_version) + self._write_data(df), meta)
 
     def overwrite(self, df: DataFrame, meta: dict | None = None) -> int:
         return self._commit(self._write_data(df), meta)
@@ -163,7 +168,8 @@ class SnapshotTable:
         return self._commit(carried + self._write_data(df), meta)
 
     def merge(self, spark: SparkSession, source: DataFrame, keys: list[str],
-              delete_keys: DataFrame | None = None, meta: dict | None = None) -> int:
+              delete_keys: DataFrame | None = None, meta: dict | None = None,
+              base_version: int | None = None) -> int:
         """MERGE INTO this USING source ON keys
         WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *,
         plus WHEN MATCHED (delete_keys) THEN DELETE.
@@ -176,7 +182,7 @@ class SnapshotTable:
         files whose partition stats intersect the source's (and delete
         set's) partition values are rewritten.
         """
-        files = self._live_files()
+        files = self._live_files(base_version)
         if not files:
             return self._commit(self._write_data(source), meta)
 
@@ -188,7 +194,7 @@ class SnapshotTable:
             parts = set()
             for d in touch_cols:
                 parts.update(r[0] for r in d.select(self.partition_col).distinct().collect())
-            keep, rewrite = self._prune(sorted(parts))
+            keep, rewrite = self._prune(sorted(parts), files)
         else:
             keep, rewrite = [], files
 
@@ -205,12 +211,13 @@ class SnapshotTable:
             new_entries += self._write_data(source)
         return self._commit(new_entries, meta)
 
-    def _prune(self, part_values: list[int]) -> tuple[list[dict], list[dict]]:
+    def _prune(self, part_values: list[int], files: list[dict] | None = None
+               ) -> tuple[list[dict], list[dict]]:
         """Split live files into (untouched, needs-rewrite) by stats."""
         vals = set(part_values)
         lo, hi = (min(vals), max(vals)) if vals else (None, None)
         keep, rewrite = [], []
-        for f in self._live_files():
+        for f in (files if files is not None else self._live_files()):
             pmin, pmax = f.get("part_min"), f.get("part_max")
             if pmin is None or lo is None:
                 rewrite.append(f)  # unknown stats → must rewrite (safe)
@@ -261,3 +268,15 @@ class Catalog:
         rounds = self.completed_rounds()
         rounds[round_idx] = table_versions
         _atomic_write_json(self._rounds_path, {str(k): v for k, v in rounds.items()})
+
+    def base_versions(self) -> dict[str, int]:
+        """Per-table snapshot version as of the LAST COMMITTED round —
+        the only state a (re)run may build on. A crashed mid-round
+        attempt leaves higher uncheckpointed table versions; binding
+        reads and writes to these versions orphans that attempt's files
+        so the redo is exact (north_rule: resume bit-identically).
+        Tables never checkpointed map to 0 (empty baseline)."""
+        base: dict[str, int] = {}
+        for r in sorted(self.completed_rounds()):
+            base.update(self.completed_rounds()[r])
+        return base

@@ -12,13 +12,14 @@ N_ROUNDS = 4
 
 def _state(spark, store):
     cat = Catalog(store)
+    base = cat.base_versions()
     out = {}
     for name, part in [("frontier", "shard"), ("archive", "shard"),
                        ("seen_exact", "shard"), ("results", "round")]:
-        df = cat.table(name, part).read(spark)
+        df = cat.table(name, part).read(spark, version=base.get(name))
         out[name] = sorted(tuple(r) for r in df.collect())
     # seen_filters blobs must match bit-for-bit
-    f = cat.table("seen_filters", "shard").read(spark)
+    f = cat.table("seen_filters", "shard").read(spark, version=base.get("seen_filters"))
     out["seen_filters"] = sorted(
         (r["shard"], bytes(r["filter_bytes"]), r["n_items"]) for r in f.collect())
     return out
@@ -50,3 +51,33 @@ def test_resume_is_noop_when_complete(spark, fixture_dfs, crawl_cfg, tmp_path_fa
     again = run_crawl(spark, store, crawl_cfg, n_rounds=2, **kw)
     assert again == []
     assert _state(spark, store) == before
+
+
+def test_mid_round_crash_redo_is_exact(spark, fixture_dfs, crawl_cfg, tmp_path_factory):
+    """A crash AFTER some table snapshots but BEFORE the round
+    checkpoint must leave no trace: the redo binds to the checkpointed
+    versions and orphans the crashed attempt's files."""
+    from pyspark.sql import functions as F
+
+    kw = dict(corpus=fixture_dfs["corpus"], links=fixture_dfs["links"],
+              robots=fixture_dfs["robots"], seeds=fixture_dfs["seeds"])
+
+    full_store = str(tmp_path_factory.mktemp("mr_full"))
+    run_crawl(spark, full_store, crawl_cfg, n_rounds=3, **kw)
+
+    crash_store = str(tmp_path_factory.mktemp("mr_crash"))
+    run_crawl(spark, crash_store, crawl_cfg, n_rounds=3, stop_after_round=2, **kw)
+    # simulate a crashed round-3 attempt: results append + frontier
+    # merge landed, then the job died before commit_round(3)
+    cat = Catalog(crash_store)
+    junk_results = cat.table("results", "round").read(spark) \
+        .limit(5).withColumn("round", F.lit(3))
+    cat.table("results", "round").append(junk_results)
+    junk_frontier = cat.table("frontier", "shard").read(spark).limit(3) \
+        .withColumn("priority", F.lit(0.123456))
+    cat.table("frontier", "shard").merge(spark, junk_frontier, ["urlhash"])
+    assert cat.last_round() == 2  # checkpoint log untouched by the crash
+
+    resumed = run_crawl(spark, crash_store, crawl_cfg, n_rounds=3, **kw)
+    assert [m["round"] for m in resumed] == [3]
+    assert _state(spark, crash_store) == _state(spark, full_store)
