@@ -16,7 +16,7 @@ them with round indices so parity runs are reproducible).
 from __future__ import annotations
 
 import os
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from pyspark.sql import SparkSession
 

@@ -162,16 +162,26 @@ class ETLPipeline:
                                  [F.col(c) for c in valid.columns if c not in src.conflict_keys])
 
         table = self.cat.table(src.target_table, src.partition_col)
-        n_valid = valid.count()
-        n_quar = quarantine.count()
+        # LoadResult tallies ride the load action itself via observe()
+        # (named accumulators on the plan) instead of separate count()
+        # jobs — SURVEY §2.1 S10 mapping of the reference's LoadResult
+        # counters (base/loader.py:24-59)
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        valid = valid.observe(obs, F.count(F.lit(1)).alias("loaded"))
         if mode == LoadMode.APPEND:
             table.append(valid)
         elif mode == LoadMode.UPSERT:
+            valid = valid.persist()  # merge evaluates its source 3×
             table.merge(self.spark, valid, src.conflict_keys)
+            valid.unpersist()
         elif mode == LoadMode.REPLACE:
             assert src.partition_col, "REPLACE needs a partition column"
             parts = [r[0] for r in valid.select(src.partition_col).distinct().collect()]
             table.overwrite_partitions(self.spark, valid, parts)
+        n_valid = obs.get["loaded"]
+        n_quar = quarantine.count()
         # quarantine table mirrors drop-with-warning (transformer.py:86-89)
         if n_quar:
             self.cat.table(f"{src.target_table}_quarantine", None).append(quarantine)

@@ -36,7 +36,7 @@ def run_full_round(spark: SparkSession, n_urls: int, n_hosts: int = 2000,
     separately by run_scheduling_round)."""
     import tempfile
 
-    from pyspark.sql import functions as F2
+    
 
     from ..plans.loop import run_crawl
     from ..synth import gen_corpus_distributed
