@@ -85,9 +85,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # =====================================================================
 def q01_first_wins_dedup(spark, sf):
     li = _t(spark, sf, "lineitem")
-    kept = R.first_wins_dedup(li, ["l_orderkey"],
-                              [F.col("l_linenumber").asc(), F.col("l_partkey").asc(),
-                               F.col("l_suppkey").asc(), F.col("l_extendedprice").asc()])
+    # aggregate form: l_orderkey is high-cardinality (the windowed form
+    # sorts the whole table; min_by hash-combines map-side)
+    kept = R.first_wins_dedup_agg(
+        li, ["l_orderkey"],
+        [F.col("l_linenumber"), F.col("l_partkey"),
+         F.col("l_suppkey"), F.col("l_extendedprice")])
     return kept.groupBy("l_returnflag").agg(
         F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
 

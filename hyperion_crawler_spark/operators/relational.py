@@ -12,10 +12,27 @@ def first_wins_dedup(df: DataFrame, keys: list[str], order: list[Column]) -> Dat
     """A4 — keep the first occurrence per key under a deterministic
     total order (the reference keeps first *arrival* — a nondeterminism
     we replace with explicit sort keys).
-    Ref: check_duplicates, api/src/etl/base/loader.py:188-209."""
+    Ref: check_duplicates, api/src/etl/base/loader.py:188-209.
+
+    Window form — general (any Column sort exprs incl. desc()). For
+    high-cardinality keys prefer ``first_wins_dedup_agg``: a window
+    sorts every partition even when keys are mostly unique."""
     w = Window.partitionBy(*keys).orderBy(*order)
     return (df.withColumn("_rn", F.row_number().over(w))
               .filter(F.col("_rn") == 1).drop("_rn"))
+
+
+def first_wins_dedup_agg(df: DataFrame, keys: list[str], order_cols: list[Column]) -> DataFrame:
+    """A4, aggregate form: min_by over a struct order key — one shuffle
+    with map-side partial combine, no sort-the-world window. This is the
+    shape the crawl frontier dedup uses (plans/round.canonical_url_rows);
+    exposed here for relational pipelines too. ``order_cols`` are
+    ASCENDING value expressions (negate numerics for descending)."""
+    ordk = F.struct(*[c.alias(f"_o{i}") for i, c in enumerate(order_cols)])
+    payload = [c for c in df.columns if c not in keys]
+    picked = df.groupBy(*keys).agg(
+        F.min_by(F.struct(*payload), ordk).alias("_r"))
+    return picked.select(*keys, *[F.col(f"_r.{c}").alias(c) for c in payload])
 
 
 def latest_per_key(df: DataFrame, keys: list[str], ts: Column, tiebreak: list[Column]) -> DataFrame:

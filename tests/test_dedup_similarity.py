@@ -120,3 +120,19 @@ def test_embedding_near_dup_planted(spark):
     assert recall >= 0.6, f"near-dup LSH recall {recall}"
     for r in pairs.collect():
         assert r["cos"] >= 0.9
+
+
+def test_gemm_topk_matches_fold_topk(spark):
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") % 100 == 0)
+    fold = SIM.brute_force_topk(q, e, k=5).collect()
+    gemm = SIM.brute_force_topk_gemm(q, e, k=5).collect()
+    fold_m = {(r["q_id"], r["rank"]): (r["n_id"], r["cos"]) for r in fold}
+    gemm_m = {(r["q_id"], r["rank"]): (r["n_id"], r["cos"]) for r in gemm}
+    assert fold_m.keys() == gemm_m.keys()
+    for key in fold_m:
+        nf, cf = fold_m[key]
+        ng, cg = gemm_m[key]
+        assert abs(cf - cg) <= 2e-6
+        # neighbor identity may differ only on cosine ties
+        assert nf == ng or abs(cf - cg) <= 2e-6
