@@ -1,0 +1,99 @@
+"""robots.txt parsing — raw robots text → the engine's rules table.
+
+The engine's politeness layer consumes a broadcastable rules dimension
+``(host, disallow_prefixes, crawl_delay_s, max_per_round)``
+(operators/politeness.py). This module produces that table from raw
+robots.txt documents, so a corpus of fetched
+``(host, robots_txt string)`` rows becomes rules in one vectorized
+pass.
+
+Parsing follows the original robots exclusion convention (user-agent
+groups, Disallow prefixes, Crawl-delay; first matching group wins,
+``*`` as fallback), implemented for the agent string the crawler
+presents. Pure Python scalar + an Arrow-batched Spark kernel
+(mapInPandas) — same dual-implementation pattern as the URL
+canonicalizer.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+RULES_SCHEMA = ("host string, disallow_prefixes array<string>, "
+                "crawl_delay_s double, max_per_round int")
+
+
+def parse_robots_txt(text: str, agent: str = "hyperion") -> tuple[list[str], float]:
+    """Returns (disallow_prefixes, crawl_delay_s) for ``agent``.
+
+    Groups: consecutive ``User-agent:`` lines open a group; the group
+    applies to us if any agent token is ``*`` or a case-insensitive
+    substring match of ours. A specific-agent group beats the ``*``
+    group. Malformed lines are skipped (lenient, like real crawlers).
+    """
+    agent = agent.lower()
+    groups: list[tuple[list[str], list[str], float | None]] = []
+    cur_agents: list[str] = []
+    cur_dis: list[str] = []
+    cur_delay: float | None = None
+    in_group_body = False
+
+    def flush():
+        nonlocal cur_agents, cur_dis, cur_delay
+        if cur_agents:
+            groups.append((cur_agents, cur_dis, cur_delay))
+        cur_agents, cur_dis, cur_delay = [], [], None
+
+    for raw in (text or "").splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        field, _, value = line.partition(":")
+        field = field.strip().lower()
+        value = value.strip()
+        if field == "user-agent":
+            if in_group_body:
+                flush()
+                in_group_body = False
+            cur_agents.append(value.lower())
+        elif field == "disallow":
+            in_group_body = True
+            if value:
+                cur_dis.append(value)
+        elif field == "crawl-delay":
+            in_group_body = True
+            try:
+                cur_delay = float(value)
+            except ValueError:
+                pass
+        elif field == "allow":
+            in_group_body = True  # recognized, prefix-allow not modeled
+    flush()
+
+    specific = next((g for g in groups
+                     if any(a != "*" and (a in agent or agent in a) for a in g[0])), None)
+    fallback = next((g for g in groups if "*" in g[0]), None)
+    chosen = specific or fallback
+    if chosen is None:
+        return [], 0.0
+    return chosen[1], chosen[2] if chosen[2] is not None else 0.0
+
+
+def rules_from_robots(robots_txt: DataFrame, agent: str = "hyperion",
+                      default_max_per_round: int = 60) -> DataFrame:
+    """(host, robots_txt) → politeness rules table (RULES_SCHEMA),
+    ready to broadcast into ``operators.politeness.with_robots``."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                dis, delay = parse_robots_txt(r.robots_txt, agent)
+                rows.append((r.host, dis, delay, default_max_per_round))
+            yield pd.DataFrame(rows, columns=["host", "disallow_prefixes",
+                                              "crawl_delay_s", "max_per_round"])
+
+    return robots_txt.select("host", "robots_txt").mapInPandas(kernel, RULES_SCHEMA)
