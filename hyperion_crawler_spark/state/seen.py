@@ -52,16 +52,12 @@ def _probe_kernel(cfg: CrawlConfig):
 
     def fn(cands: pd.DataFrame, state: pd.DataFrame) -> pd.DataFrame:
         if len(cands) == 0:
-            # group exists only in state: carry the blob forward unchanged
-            if len(state) == 0:
-                return pd.DataFrame(columns=["shard", "kind", "urlhash", "url", "host",
-                                             "image_id", "priority", "filter_bytes", "n_items"])
-            row = state.iloc[0]
-            return pd.DataFrame([{
-                "shard": int(row["shard"]), "kind": "filter", "urlhash": 0, "url": None,
-                "host": None, "image_id": None, "priority": 0.0,
-                "filter_bytes": row["filter_bytes"], "n_items": int(row["n_items"]),
-            }])
+            # shard untouched this round: emit NOTHING — the MERGE keeps
+            # unmatched target rows, so the stored blob survives without
+            # a rewrite (at 2^14 shards most are untouched per round;
+            # emitting carries would rewrite the whole seen table)
+            return pd.DataFrame(columns=["shard", "kind", "urlhash", "url", "host",
+                                         "image_id", "priority", "filter_bytes", "n_items"])
         shard = int(cands["shard"].iloc[0])
         if len(state) > 0:
             bits = np.unpackbits(np.frombuffer(state["filter_bytes"].iloc[0], dtype=np.uint8))

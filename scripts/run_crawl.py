@@ -46,7 +46,16 @@ def main() -> None:
     fixture_dir = args.fixture_dir
     if args.synth_urls:
         fixture_dir = tempfile.mkdtemp(prefix="hyperion_fixture_")
-        write_fixture_parquet(gen_fixture(SynthConfig(n_urls=args.synth_urls)), fixture_dir)
+        fx = gen_fixture(SynthConfig(n_urls=args.synth_urls))
+        if args.synth_urls >= 10_000:
+            # the image encodes dominate big fixtures — generate the
+            # corpus in parallel on executors instead of driver pandas
+            from hyperion_crawler_spark.synth import gen_corpus_distributed
+
+            del fx["corpus"]
+            gen_corpus_distributed(spark, args.synth_urls).write.mode("overwrite") \
+                .parquet(f"{fixture_dir}/corpus.parquet")
+        write_fixture_parquet(fx, fixture_dir)
         print(json.dumps({"event": "fixture", "dir": fixture_dir, "n_urls": args.synth_urls}))
     if not fixture_dir:
         ap.error("need --fixture-dir or --synth-urls")

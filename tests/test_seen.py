@@ -39,20 +39,29 @@ def test_no_false_negatives_and_exact_parity(spark, crawl_cfg):
     filters.unpersist()
 
 
-def test_untouched_shard_blob_carried_forward(spark, crawl_cfg):
+def test_untouched_shard_not_rewritten_but_survives_merge(spark, crawl_cfg, tmp_path):
+    from hyperion_crawler_spark.sources.tables import Catalog
+
     empty = spark.createDataFrame([], "shard int, filter_bytes binary, n_items long")
-    # keys only in shard 0
+    seen_t = Catalog(str(tmp_path)).table("seen_filters", "shard")
+    # round A: keys only in shard 0
     keys0 = [h for h in range(2000) if h % crawl_cfg.n_shards == 0][:50]
     _, f1, _c4 = probe_and_update(_cands(spark, keys0, crawl_cfg), empty, crawl_cfg)
-    f1 = f1.persist()
-    blob0 = {r["shard"]: (r["filter_bytes"], r["n_items"]) for r in f1.collect()}
-    # now probe keys only in shard 1; shard 0's blob must carry unchanged
+    seen_t.merge(spark, f1, ["shard"])
+    blob0 = {r["shard"]: (bytes(r["filter_bytes"]), r["n_items"])
+             for r in seen_t.read(spark).collect()}
+    # round B: keys only in shard 1 — the probe must NOT emit a carry
+    # row for shard 0 (no rewrite), yet the merged table keeps its blob
     keys1 = [h for h in range(2000) if h % crawl_cfg.n_shards == 1][:50]
-    _, f2, _c5 = probe_and_update(_cands(spark, keys1, crawl_cfg), f1, crawl_cfg)
-    blobs2 = {r["shard"]: (r["filter_bytes"], r["n_items"]) for r in f2.collect()}
+    current = seen_t.read(spark)
+    _, f2, _c5 = probe_and_update(_cands(spark, keys1, crawl_cfg), current, crawl_cfg)
+    emitted = {r["shard"] for r in f2.collect()}
+    assert emitted == {1}, "untouched shards must not be re-emitted"
+    seen_t.merge(spark, f2, ["shard"])
+    blobs2 = {r["shard"]: (bytes(r["filter_bytes"]), r["n_items"])
+              for r in seen_t.read(spark).collect()}
     assert blobs2[0] == blob0[0]
     assert blobs2[1][1] == 50
-    f1.unpersist()
 
 
 def test_within_batch_duplicates_survive_probe(spark, crawl_cfg):
