@@ -51,3 +51,23 @@ def test_bloom_positions_spread():
     pos = bloom_positions_vec(np.arange(1000, dtype=np.int64), m, k)
     # distinct keys should not collide on all k positions
     assert len({tuple(p) for p in pos.tolist()}) == 1000
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@given(st.lists(st.integers(min_value=-2**63, max_value=2**63 - 1),
+                min_size=1, max_size=200))
+@settings(max_examples=50, deadline=None)
+def test_bloom_never_false_negative_property(keys):
+    import numpy as np
+
+    from hyperion_crawler_spark.functions.hashing import bloom_positions_vec
+
+    m, k = 1 << 14, 7
+    bits = np.zeros(m, dtype=np.uint8)
+    pos = bloom_positions_vec(np.array(keys, dtype=np.int64), m, k)
+    bits[pos.astype(np.int64).ravel()] = 1
+    # every inserted key must probe positive
+    assert bits[pos.astype(np.int64)].all(axis=1).all()

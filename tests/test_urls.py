@@ -67,3 +67,30 @@ def test_spark_udf_and_host_expr(spark):
     for r in df.collect():
         assert r["url"] == canonicalize_one(r["raw"])
         assert r["host"] == host_of_one(r["url"])
+
+
+@given(st.lists(url_strategy, min_size=1, max_size=30))
+@settings(max_examples=40, deadline=None)
+def test_canonicalize_idempotent(urls):
+    # canonical form is a fixed point: c(c(x)) == c(x)
+    once = [canonicalize_one(u) for u in urls]
+    assert [canonicalize_one(u) for u in once] == once
+
+
+def test_fast_path_predicate_is_sound():
+    """Any URL matching the JVM fast-path regex must be a canonicalizer
+    fixed point (else the split-union would corrupt URLs)."""
+    import re
+
+    from hyperion_crawler_spark.functions.urls import _CANONICAL_SAFE_RE, _DOT_SEG_ANY_RE
+
+    probes = [
+        "http://host.example/p/1",
+        "https://a-b.c/x/y.z",
+        "http://h.ex/",
+        "http://h.ex/a%20b",
+        "http://h.ex/a!*'()+,;:@&=-",
+    ]
+    for u in probes:
+        if re.match(_CANONICAL_SAFE_RE, u) and not re.search(_DOT_SEG_ANY_RE, u):
+            assert canonicalize_one(u) == u, u
