@@ -47,6 +47,24 @@ def default_config() -> CrawlConfig:
     return CrawlConfig()
 
 
+def bloom_params(expected_keys_per_shard: int, target_fpr: float = 1e-3) -> tuple[int, int]:
+    """Size a shard's Bloom filter: returns (m_bits rounded up to a
+    power of two, k hash functions).
+
+    m = -n·ln(p)/ln(2)², k = (m/n)·ln(2). Design point 10^10 URLs over
+    2^14 shards → n ≈ 6.1e5/shard → m = 2^24 bits (2 MiB/shard, fits one
+    Arrow batch comfortably), k = 10 → FPR ≈ 1e-3. Total seen-state
+    ≈ 32 GiB across the cluster — vs ~80 GiB+ for exact 64-bit keys with
+    no false-positive bound on growth."""
+    import math
+
+    n = max(expected_keys_per_shard, 1)
+    m = -n * math.log(target_fpr) / (math.log(2) ** 2)
+    m_bits = 1 << max(int(math.ceil(math.log2(m))), 10)
+    k = max(1, round(m_bits / n * math.log(2)))
+    return m_bits, k
+
+
 def get_spark(
     app: str = "hyperion_crawler_spark",
     master: str | None = None,

@@ -74,10 +74,19 @@ def canonical_url_rows(raw: DataFrame, url_col: str, image_col: str, priority_co
     return picked.select("urlhash", "_r.url", "_r.host", "_r.image_id", "_r.shard", "_r.priority")
 
 
+def _frontier_table(cat):
+    """Frontier = the priority queue, materialized SORTED within each
+    shard file by (priority DESC, urlhash ASC) — Iceberg sort-order
+    analog (north_rule). Sort Columns built lazily (needs a live
+    SparkContext)."""
+    return cat.table("frontier", "shard",
+                     sort_cols=[F.col("priority").desc(), F.col("urlhash").asc()])
+
+
 def init_frontier(spark: SparkSession, cat, cfg: CrawlConfig, seeds: DataFrame) -> dict:
     """Round -1 bootstrap: seeds → canonical frontier rows, all marked
     seen (a URL is 'seen' once it enters the frontier — never re-added)."""
-    frontier_t = cat.table("frontier", "shard")
+    frontier_t = _frontier_table(cat)
     seen_t = cat.table("seen_filters", "shard")
     seen_exact_t = cat.table("seen_exact", "shard")
 
@@ -108,7 +117,7 @@ def init_frontier(spark: SparkSession, cat, cfg: CrawlConfig, seeds: DataFrame) 
 def run_round(spark: SparkSession, cat, cfg: CrawlConfig, round_idx: int,
               corpus: DataFrame, links: DataFrame, robots: DataFrame) -> dict:
     """Execute crawl round ``round_idx`` (≥1) and commit its snapshot."""
-    frontier_t = cat.table("frontier", "shard")
+    frontier_t = _frontier_table(cat)
     seen_t = cat.table("seen_filters", "shard")
     seen_exact_t = cat.table("seen_exact", "shard")
     results_t = cat.table("results", "round")

@@ -63,10 +63,18 @@ class FileEntry:
 
 
 class SnapshotTable:
-    def __init__(self, root: str, name: str, partition_col: str | None = None):
+    def __init__(self, root: str, name: str, partition_col: str | None = None,
+                 sort_cols: list | None = None):
+        """``sort_cols``: Column sort expressions applied within each
+        data file at write time (Iceberg table sort-order analog) — the
+        frontier uses (priority DESC, urlhash ASC) so the priority queue
+        is materialized SORTED and the scheduling scan reads it in queue
+        order (north_rule: 'priority queue materialized as a sorted
+        MERGE INTO')."""
         self.dir = os.path.join(root, name)
         self.name = name
         self.partition_col = partition_col
+        self.sort_cols = sort_cols
         os.makedirs(os.path.join(self.dir, "data"), exist_ok=True)
         os.makedirs(os.path.join(self.dir, "snapshots"), exist_ok=True)
 
@@ -108,12 +116,19 @@ class SnapshotTable:
         sub = f"commit-{uuid.uuid4().hex[:12]}"
         absdir = os.path.join(self.dir, "data", sub)
         pc = self.partition_col if (self.partition_col and self.partition_col in df.columns) else None
+        sort_exprs = self.sort_cols or None
         if pc:
-            (df.withColumn("_pv", F.col(pc))
-               .sortWithinPartitions(pc)
-               .write.mode("overwrite").partitionBy("_pv").parquet(absdir))
+            # sort by the WRITER's partition column first: FileFormatWriter
+            # inserts its own (non-stable) sort on _pv when the incoming
+            # order doesn't already lead with it, which would destroy the
+            # secondary sort-order
+            out = df.withColumn("_pv", F.col(pc))
+            out = out.sortWithinPartitions("_pv", *sort_exprs) if sort_exprs \
+                else out.sortWithinPartitions("_pv")
+            out.write.mode("overwrite").partitionBy("_pv").parquet(absdir)
         else:
-            df.write.mode("overwrite").parquet(absdir)
+            out = df.sortWithinPartitions(*sort_exprs) if sort_exprs else df
+            out.write.mode("overwrite").parquet(absdir)
         entries: list[dict] = []
         for dirpath, _dirnames, filenames in sorted(os.walk(absdir)):
             pval: int | None = None
@@ -243,9 +258,10 @@ class Catalog:
         os.makedirs(root, exist_ok=True)
         self._tables: dict[str, SnapshotTable] = {}
 
-    def table(self, name: str, partition_col: str | None = None) -> SnapshotTable:
+    def table(self, name: str, partition_col: str | None = None,
+              sort_cols: list | None = None) -> SnapshotTable:
         if name not in self._tables:
-            self._tables[name] = SnapshotTable(self.root, name, partition_col)
+            self._tables[name] = SnapshotTable(self.root, name, partition_col, sort_cols)
         return self._tables[name]
 
     # ---- round checkpoints ----------------------------------------
