@@ -332,6 +332,41 @@ def q29_distinct_counts(spark, sf):
                                                  F.col("l_returnflag"))))
 
 
+def q30_politeness_schedule(spark, sf):
+    """W2/O2 — the two-phase salted per-host budget top-k itself, made
+    SQL-checkable: a frontier derived from orders where ``urlhash`` is
+    the (DuckDB-computable) order key, so the exact politeness operator
+    — including its skew-safe two-phase form — is value-verified against
+    a plain window-SQL oracle."""
+    o = _t(spark, sf, "orders")
+    frontier = o.select(
+        F.col("o_orderkey").alias("urlhash"),
+        F.concat(F.lit("http://h"), F.pmod("o_custkey", F.lit(40)).cast("string"),
+                 F.lit(".ex/o/"), F.col("o_orderkey").cast("string")).alias("url"),
+        F.concat(F.lit("h"), F.pmod("o_custkey", F.lit(40)).cast("string"), F.lit(".ex")).alias("host"),
+        (F.col("o_totalprice") / 1e6).alias("priority"),
+        (F.pmod("o_custkey", F.lit(4)) + 2).cast("long").alias("budget"),
+    )
+    cfg = CrawlConfig(salt_buckets=4)
+    out = topk_per_host(frontier, cfg)
+    return out.select("host", "urlhash", F.round("priority", 6).alias("priority"))
+
+
+def q31_merge_with_delete(spark, sf):
+    """S5+ — MERGE with UPDATE, INSERT and DELETE branches as one
+    dataflow result (the frontier-retirement shape)."""
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+    target = o.filter(F.col("o_orderkey") % 2 == 0)
+    source = o.filter((F.col("o_orderkey") % 3 == 0) & (F.col("o_orderkey") % 5 != 0)) \
+              .withColumn("o_totalprice", _pround(F.col("o_totalprice") * 1.1, 2))
+    delete_keys = o.filter(F.col("o_orderkey") % 5 == 0).select("o_orderkey")
+    gone = source.select("o_orderkey").unionByName(delete_keys).distinct()
+    survivors = target.join(gone, "o_orderkey", "left_anti")
+    merged = survivors.unionByName(source)
+    return merged.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"), _pround(F.sum("o_totalprice"), 2).alias("sum_total"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_first_wins_dedup": q01_first_wins_dedup,
@@ -363,6 +398,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q27_parse_symbols": q27_parse_symbols,
         "q28_rating_normalize": q28_rating_normalize,
         "q29_distinct_counts": q29_distinct_counts,
+        "q30_politeness_schedule": q30_politeness_schedule,
+        "q31_merge_with_delete": q31_merge_with_delete,
     }
 
 
@@ -728,5 +765,36 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT (l_orderkey, l_linenumber)) AS n_lines,
                    concat_ws('_', 'market', 'daily', l_returnflag) AS task_id
             FROM lineitem GROUP BY l_returnflag
+        """,
+        "q30_politeness_schedule": """
+            WITH frontier AS (
+              SELECT o_orderkey AS urlhash,
+                     concat('h', CAST(o_custkey % 40 AS VARCHAR), '.ex') AS host,
+                     o_totalprice / 1e6 AS priority,
+                     o_custkey % 4 + 2 AS budget
+              FROM orders),
+            ranked AS (
+              SELECT host, urlhash, priority, budget, row_number() OVER (
+                PARTITION BY host ORDER BY priority DESC, urlhash ASC) AS rn
+              FROM frontier)
+            SELECT host, urlhash, round(priority, 6) AS priority
+            FROM ranked WHERE rn <= budget
+        """,
+        "q31_merge_with_delete": """
+            WITH target AS (
+              SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 2 = 0),
+            source AS (
+              SELECT o_orderkey, o_orderstatus,
+                     floor(o_totalprice * 1.1 * 100.0 + 0.5) / 100.0 AS o_totalprice
+              FROM orders WHERE o_orderkey % 3 = 0 AND o_orderkey % 5 != 0),
+            gone AS (
+              SELECT o_orderkey FROM source
+              UNION SELECT o_orderkey FROM orders WHERE o_orderkey % 5 = 0),
+            merged AS (
+              SELECT t.* FROM target t ANTI JOIN gone g ON t.o_orderkey = g.o_orderkey
+              UNION ALL SELECT * FROM source)
+            SELECT o_orderstatus, count(*) AS n,
+                   floor(sum(o_totalprice) * 100.0 + 0.5) / 100.0 AS sum_total
+            FROM merged GROUP BY o_orderstatus
         """,
     }
