@@ -44,13 +44,17 @@ def run_full_round(spark: SparkSession, n_urls: int, n_hosts: int = 2000,
     cfg = cfg or CrawlConfig(exact_seen_shadow=False)
     store = store_dir or tempfile.mkdtemp(prefix="hyperion_bench_store_")
 
+    from ..synth import gen_links_distributed
+
     corpus = gen_corpus_distributed(spark, n_urls).persist()
     corpus.count()
-    seeds = gen_frontier_distributed(spark, n_urls, n_hosts).select(
+    # seed HALF the URL space; the link graph points into all of it so
+    # the round exercises discovery, batch dedup, and the Bloom probe
+    seeds = gen_frontier_distributed(spark, n_urls // 2, n_hosts).select(
         "url", "image_id", "priority").persist()
     seeds.count()
-    links = spark.createDataFrame(
-        [], "src_url string, dst_url string, dst_image_id string, dst_priority double")
+    links = gen_links_distributed(spark, n_urls, n_hosts).persist()
+    links.count()
     robots = spark.createDataFrame(
         [], "host string, disallow_prefixes array<string>, crawl_delay_s double, max_per_round int")
 

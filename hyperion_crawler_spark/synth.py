@@ -171,6 +171,35 @@ def gen_corpus_distributed(spark, n_images: int, dims=(16, 32), fmts=("hypng", "
         kernel, S.CORPUS)
 
 
+def gen_links_distributed(spark, n_urls: int, n_hosts: int = 1000, fanout: int = 2):
+    """JVM-side link graph over the distributed frontier's URL space:
+    each URL links to ``fanout`` deterministic targets (hash-derived,
+    duplicates possible across sources → dedup + seen-probe exercise)."""
+    from pyspark.sql import functions as F
+
+    base = gen_frontier_distributed(spark, n_urls, n_hosts).select("url")
+    edges = base.select(
+        F.col("url").alias("src_url"),
+        F.explode(F.array(*[
+            F.pmod(F.xxhash64("url", F.lit(j)), F.lit(n_urls)).alias(f"t{j}")
+            for j in range(fanout)
+        ])).alias("tid"),
+    )
+    # rebuild target url/image/priority deterministically from tid with
+    # the same hash formulas gen_frontier_distributed uses for id=tid,
+    # so target urlhashes align with the frontier's
+    return edges.select(
+        "src_url",
+        F.concat(F.lit("http://host"),
+                 F.lpad(F.floor(F.lit(n_hosts) * F.pow(
+                     F.pmod(F.xxhash64("tid"), F.lit(10**9)) / 1e9, F.lit(4.0)))
+                     .cast("int").cast("string"), 5, "0"),
+                 F.lit(".example/p/"), F.col("tid").cast("string")).alias("dst_url"),
+        F.concat(F.lit("img"), F.lpad(F.col("tid").cast("string"), 10, "0")).alias("dst_image_id"),
+        (F.pmod(F.xxhash64("tid", F.lit(1)), F.lit(10**6)) / 1e6).alias("dst_priority"),
+    )
+
+
 def gen_frontier_distributed(spark, n_urls: int, n_hosts: int = 1000, n_seen: int = 0):
     """Bench-scale frontier generator — pure Catalyst (spark.range +
     builtin functions, zero Python), so generating 10^7+ candidate URLs
