@@ -107,14 +107,16 @@ def phash64(pixels: np.ndarray) -> int:
     content-identity check."""
     g = pixels.astype(np.float64).mean(axis=2)
     h, w = g.shape
-    ys = (np.arange(9) * h) // 8
-    xs = (np.arange(9) * w) // 8
-    cells = np.empty((8, 8))
-    for i in range(8):
-        for j in range(8):
-            cells[i, j] = g[ys[i]:ys[i + 1], xs[j]:xs[j + 1]].mean()
+    if h % 8 == 0 and w % 8 == 0:
+        # vectorized block mean (fetch hot path: dims are multiples of 8)
+        cells = g.reshape(8, h // 8, 8, w // 8).mean(axis=(1, 3))
+    else:
+        ys = (np.arange(9) * h) // 8
+        xs = (np.arange(9) * w) // 8
+        cells = np.empty((8, 8))
+        for i in range(8):
+            for j in range(8):
+                cells[i, j] = g[ys[i]:ys[i + 1], xs[j]:xs[j + 1]].mean()
     bits = (cells > cells.mean()).flatten()
-    v = 0
-    for b in bits:
-        v = (v << 1) | int(b)
+    v = int.from_bytes(np.packbits(bits).tobytes(), "big")  # MSB-first
     return v - (1 << 64) if v >= (1 << 63) else v
