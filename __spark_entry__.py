@@ -25,6 +25,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from hyperion_crawler_spark.config import CrawlConfig  # noqa: E402
 from hyperion_crawler_spark.functions import text as TX  # noqa: E402
+from hyperion_crawler_spark.functions import scalars as SC  # noqa: E402
 from hyperion_crawler_spark.functions.scalars import (  # noqa: E402
     clean_numeric,
     change_amount,
@@ -367,6 +368,59 @@ def q31_merge_with_delete(spark, sf):
         F.count("*").alias("n"), _pround(F.sum("o_totalprice"), 2).alias("sum_total"))
 
 
+def q32_target_price(spark, sf):
+    """F8 normalize_target_price: clean → struct(price, ccy), with the
+    reference's falsy contract (unparseable OR zero → null)."""
+    o = _t(spark, sf, "orders")
+    raw = (F.when(F.col("o_orderkey") % 7 == 0, F.lit("n/a"))
+            .when(F.col("o_orderkey") % 5 == 0, F.lit("$0"))
+            .otherwise(F.concat(F.lit("$"), F.floor(F.col("o_totalprice")).cast("string"))))
+    tp = SC.normalize_target_price(raw, "USD")
+    return o.select("o_orderkey", tp.alias("tp")).select(
+        "o_orderkey",
+        F.col("tp.target_price").alias("target_price"),
+        F.col("tp.currency").alias("currency"))
+
+
+def q33_filing_range(spark, sf):
+    """F10 get_filing_date_range: (start,end) | (date,date) | today
+    dispatch over yyyyMMdd param strings, deterministic 'today'."""
+    o = _t(spark, sf, "orders")
+    both = F.col("o_orderkey") % 3 == 0
+    single_p = F.col("o_orderkey") % 3 == 1
+    start = F.when(both, F.date_format("o_orderdate", "yyyyMMdd"))
+    end = F.when(both, F.date_format(F.date_add("o_orderdate", 30), "yyyyMMdd"))
+    single = F.when(single_p, F.date_format("o_orderdate", "yyyyMMdd"))
+    today = F.lit("2024-06-30").cast("date")
+    rng = SC.filing_date_range(start, end, single, today)
+    return o.select("o_orderkey", rng.alias("r")).select(
+        "o_orderkey",
+        F.date_format("r.range_start", "yyyy-MM-dd").alias("range_start"),
+        F.date_format("r.range_end", "yyyy-MM-dd").alias("range_end"))
+
+
+def q34_filing_metadata(spark, sf):
+    """F14 extract_filing_metadata (JSON filing → normalized metadata
+    struct) + F15 parse_xbrl stub (always-empty map, as the reference)."""
+    o = _t(spark, sf, "orders")
+    filing = F.to_json(F.struct(
+        F.when(F.col("o_orderkey") % 11 == 0, F.lit("junk"))
+         .otherwise(F.date_format("o_orderdate", "yyyy-MM-dd")).alias("filing_date"),
+        F.col("o_orderpriority").alias("document_type"),
+        F.concat(F.lit("corp-"), F.col("o_custkey").cast("string")).alias("company_name"),
+        F.concat(F.lit("http://filings.example/"),
+                 F.col("o_orderkey").cast("string")).alias("filing_url")))
+    md = SC.extract_filing_metadata(filing)
+    return o.select("o_orderkey", md.alias("md"),
+                    F.to_json(SC.parse_xbrl(F.lit("<xbrl/>"))).alias("xbrl")) \
+            .select("o_orderkey",
+                    F.col("md.filing_date").alias("filing_date"),
+                    F.col("md.document_type").alias("document_type"),
+                    F.col("md.company_name").alias("company_name"),
+                    F.col("md.filing_url").alias("filing_url"),
+                    "xbrl")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_first_wins_dedup": q01_first_wins_dedup,
@@ -400,6 +454,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q29_distinct_counts": q29_distinct_counts,
         "q30_politeness_schedule": q30_politeness_schedule,
         "q31_merge_with_delete": q31_merge_with_delete,
+        "q32_target_price": q32_target_price,
+        "q33_filing_range": q33_filing_range,
+        "q34_filing_metadata": q34_filing_metadata,
     }
 
 
@@ -796,5 +853,43 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderstatus, count(*) AS n,
                    floor(sum(o_totalprice) * 100.0 + 0.5) / 100.0 AS sum_total
             FROM merged GROUP BY o_orderstatus
+        """,
+        "q32_target_price": """
+            WITH c AS (
+              SELECT o_orderkey,
+                     CASE WHEN o_orderkey % 7 = 0 THEN 'n/a'
+                          WHEN o_orderkey % 5 = 0 THEN '$0'
+                          ELSE concat('$', CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR))
+                     END AS raw
+              FROM orders),
+            p AS (
+              SELECT o_orderkey,
+                     TRY_CAST(regexp_replace(raw, '[,$₩]', '', 'g') AS DOUBLE) AS pv
+              FROM c)
+            SELECT o_orderkey,
+                   CASE WHEN pv IS NOT NULL AND pv <> 0 THEN pv END AS target_price,
+                   CASE WHEN pv IS NOT NULL AND pv <> 0 THEN 'USD' END AS currency
+            FROM p
+        """,
+        "q33_filing_range": """
+            SELECT o_orderkey,
+                   CASE WHEN o_orderkey % 3 = 0 THEN strftime(o_orderdate, '%Y-%m-%d')
+                        WHEN o_orderkey % 3 = 1 THEN strftime(o_orderdate, '%Y-%m-%d')
+                        ELSE '2024-06-30' END AS range_start,
+                   CASE WHEN o_orderkey % 3 = 0
+                          THEN strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d')
+                        WHEN o_orderkey % 3 = 1 THEN strftime(o_orderdate, '%Y-%m-%d')
+                        ELSE '2024-06-30' END AS range_end
+            FROM orders
+        """,
+        "q34_filing_metadata": """
+            SELECT o_orderkey,
+                   CASE WHEN o_orderkey % 11 = 0 THEN NULL
+                        ELSE strftime(o_orderdate, '%Y-%m-%d') END AS filing_date,
+                   o_orderpriority AS document_type,
+                   concat('corp-', CAST(o_custkey AS VARCHAR)) AS company_name,
+                   concat('http://filings.example/', CAST(o_orderkey AS VARCHAR)) AS filing_url,
+                   '{}' AS xbrl
+            FROM orders
         """,
     }

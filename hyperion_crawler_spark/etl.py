@@ -173,9 +173,7 @@ class ETLPipeline:
         if mode == LoadMode.APPEND:
             table.append(valid)
         elif mode == LoadMode.UPSERT:
-            valid = valid.persist()  # merge evaluates its source 3×
-            table.merge(self.spark, valid, src.conflict_keys)
-            valid.unpersist()
+            table.merge(self.spark, valid, src.conflict_keys)  # merge persists internally
         elif mode == LoadMode.REPLACE:
             assert src.partition_col, "REPLACE needs a partition column"
             parts = [r[0] for r in valid.select(src.partition_col).distinct().collect()]

@@ -105,3 +105,58 @@ def json_field(col: Column, path: str) -> Column:
     """F16 — JSON column access.
     Ref: parameters/result_summary JSON, api/src/models/task_log.py:26-27."""
     return F.get_json_object(col, path)
+
+
+def normalize_target_price(price: Column, currency: Column | str = "USD") -> Column:
+    """F8 — struct(target_price, currency), NULL when the cleaned price
+    is null OR zero: the reference's ``if not numeric_price`` falsy
+    check maps 0 to None too, and that quirk is preserved.
+    Ref: normalize_target_price, api/src/etl/base/transformer.py:239-248."""
+    cur = F.lit(currency) if isinstance(currency, str) else currency
+    p = clean_numeric(price)
+    return F.when(p.isNotNull() & (p != 0.0),
+                  F.struct(p.alias("target_price"), cur.alias("currency")))
+
+
+def filing_date_range(start: Column, end: Column, single: Column, today: Column) -> Column:
+    """F10 — struct(range_start, range_end): (start, end) when both
+    params are present, (date, date) when the single param is, else
+    (today, today). Params are ``yyyyMMdd`` strings like the reference's
+    ``strptime(..., "%Y%m%d")``; ``today`` is an injected deterministic
+    reference date (the reference calls ``date.today()`` — wall clock is
+    banned here for reproducibility, same policy as F12 task_id).
+    Parse failures yield null bounds (try_-semantics) instead of the
+    reference's raised ValueError — the engine's quarantine-not-crash
+    contract. Ref: get_filing_date_range, api/src/etl/base/extractor.py:102-117."""
+    s = F.try_to_timestamp(start, F.lit("yyyyMMdd")).cast("date")
+    e = F.try_to_timestamp(end, F.lit("yyyyMMdd")).cast("date")
+    d = F.try_to_timestamp(single, F.lit("yyyyMMdd")).cast("date")
+    t = today.cast("date")
+    return (
+        F.when(start.isNotNull() & end.isNotNull(),
+               F.struct(s.alias("range_start"), e.alias("range_end")))
+        .when(single.isNotNull(), F.struct(d.alias("range_start"), d.alias("range_end")))
+        .otherwise(F.struct(t.alias("range_start"), t.alias("range_end")))
+    )
+
+
+def extract_filing_metadata(filing_json: Column) -> Column:
+    """F14 — pull the four filing metadata fields out of a filing
+    document (JSON string column = the reference's dict), with the
+    filing_date normalized through F1.
+    Ref: extract_filing_metadata, api/src/etl/base/transformer.py:178-185."""
+    return F.struct(
+        normalize_date(F.get_json_object(filing_json, "$.filing_date")).alias("filing_date"),
+        F.get_json_object(filing_json, "$.document_type").alias("document_type"),
+        F.get_json_object(filing_json, "$.company_name").alias("company_name"),
+        F.get_json_object(filing_json, "$.filing_url").alias("filing_url"),
+    )
+
+
+def parse_xbrl(xbrl_content: Column) -> Column:
+    """F15 — XBRL parsing, a stub in the reference too (returns ``{}``
+    with a TODO): mirrored as an always-empty string→string map so the
+    column contract is fixed for a real parser to drop into.
+    Ref: parse_xbrl_data, api/src/etl/base/transformer.py:187-190."""
+    return F.map_from_arrays(F.array().cast("array<string>"),
+                             F.array().cast("array<string>"))

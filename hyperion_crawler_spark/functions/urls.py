@@ -102,6 +102,11 @@ def canonicalize_series(urls: pd.Series) -> pd.Series:
     # query cleanup: strip utm_* params with vectorized regex passes
     q = parts["query"].fillna("")
     q = q.str.replace(r"(?:^|(?<=&))utm_[^&]*(?:&|$)", "", regex=True, case=False)
+    # collapse empty params ('a=1&&b=2' → 'a=1&b=2') BEFORE the edge
+    # strips — the scalar's split-filter-join drops empty segments
+    # anywhere, and a '&&' the utm pass didn't create must not survive
+    # (divergence here changes urlhash and breaks crawl-order parity)
+    q = q.str.replace(r"&{2,}", "&", regex=True)
     q = q.str.replace(r"&+$", "", regex=True).str.replace(r"^&+", "", regex=True)
     default_port = scheme.map(_DEFAULT_PORTS)
     netloc = host.where(port.isna() | (port == default_port), host + ":" + port.fillna(""))

@@ -55,13 +55,22 @@ def tokens_expr(text: Column) -> Column:
 
 
 def word_ngrams(text: Column, n: int) -> Column:
-    """Distinct word n-gram shingles of a space-tokenized text."""
+    """Distinct word n-gram shingles of a space-tokenized text.
+
+    Texts with fewer than ``n`` tokens yield an EMPTY array: Spark's
+    ``sequence(1, 0)`` is the descending ``[1, 0]`` (unlike SQL
+    ``generate_series``, which is empty), so an unguarded transform
+    would call ``slice(toks, 0, n)`` and throw
+    INVALID_PARAMETER_VALUE.START on any short document. The CASE guard
+    matches the DuckDB oracle's empty-series semantics exactly."""
     toks = tokens_expr(text)
+    last = F.size(toks) - (n - 1)
     grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
+        F.sequence(F.lit(1), last),
         lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
     )
-    return F.array_distinct(grams)
+    empty = F.array().cast("array<string>")
+    return F.array_distinct(F.when(last >= 1, grams).otherwise(empty))
 
 
 # ---------------------------------------------------------------- exact
@@ -134,7 +143,11 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     with_sig = df.select(
         F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text"),
         minhash_signature(F.col(text_col)).alias("sig"),
-    )
+    ).filter(F.size(word_ngrams(F.col("_text"), 3)) > 0)
+    # ^ docs with zero shingles (< 3 tokens) have undefined signatures —
+    # all-null sigs would collide into ONE degenerate band bucket and
+    # their Jaccard is 0/0; by definition they cannot be n-gram
+    # near-dups, so they are excluded before banding
     bands = with_sig.select(
         "doc_id", "_text", "sig",
         F.explode(F.array(*[

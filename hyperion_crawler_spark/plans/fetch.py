@@ -34,6 +34,7 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from ..functions.images import LOSSY_FMTS, decode, make_pixels, phash64, psnr_db
 
@@ -66,6 +67,9 @@ def _fetch_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cap_ok = np.zeros(n, dtype=bool)
         phash_out = np.zeros(n, dtype=np.int64)
 
+        # the inner join guarantees corpus columns are non-null here —
+        # these batch-wide int64 casts are safe (corpus-miss rows never
+        # reach this kernel; they take the anti-join quarantine path)
         fail = transient_failure_mask(
             pdf["urlhash"].to_numpy(np.int64), pdf["retry_count"].to_numpy(np.int64)
         )
@@ -113,15 +117,90 @@ def _fetch_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                    "phash", "caption"]]
 
 
-def fetch_and_validate(scheduled: DataFrame, corpus: DataFrame) -> DataFrame:
-    """scheduled(frontier cols) ⨝ corpus(image_id) → validated results.
+_MISS_COLS = ["urlhash", "url", "host", "image_id", "retry_count", "priority",
+              "shard", "discovered_round"]
 
-    The corpus side carries the BinaryType payload; Catalyst prunes it
-    from every other stage because only this join selects ``bytes``.
+
+def _miss_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Corpus-miss rows: same transient-failure mask as the fetch kernel
+    (uint64 wraparound arithmetic — kept in numpy so the bit pattern is
+    identical to the hit path and the parity oracle), then quarantine."""
+    for pdf in batches:
+        if len(pdf) == 0:
+            continue
+        fail = transient_failure_mask(
+            pdf["urlhash"].to_numpy(np.int64), pdf["retry_count"].to_numpy(np.int64)
+        )
+        out = pdf[_MISS_COLS].copy()
+        out["status"] = np.where(fail, "failed", "quarantined")
+        out["psnr_db"] = np.nan
+        out["caption_ok"] = False
+        out["phash"] = np.int64(0)
+        out["caption"] = None
+        yield out[["urlhash", "url", "host", "image_id", "retry_count", "priority",
+                   "shard", "discovered_round", "status", "psnr_db", "caption_ok",
+                   "phash", "caption"]]
+
+
+def fetch_and_validate(scheduled: DataFrame, corpus: DataFrame) -> DataFrame:
+    """corpus(image_id) ⨝ broadcast(scheduled) → validated results,
+    plus a left-anti pass for scheduled ids absent from the corpus.
+
+    Scale shape (the 100 TB design point): the per-round schedule is
+    small (bounded by the politeness budget) and is BROADCAST; the
+    corpus — which carries the BinaryType payload — is the streamed
+    probe side of an inner BroadcastHashJoin, so its bytes NEVER cross
+    an Exchange. (The previous ``scheduled LEFT JOIN corpus`` shape
+    could not broadcast — Spark can't broadcast the left side of a
+    left-outer — and planned as a sort-merge join shuffling the entire
+    payload table every round.) Missing image_ids are recovered by a
+    separate anti-join that projects ONLY ``image_id`` from the corpus —
+    a narrow 8-byte-per-row shuffle at worst, broadcastable under AQE at
+    test scale. Catalyst prunes ``bytes`` from every other stage because
+    only the inner join selects it; with a bucketed corpus table
+    (``read_corpus_for_schedule``) the join additionally skips every
+    payload file whose bucket the round doesn't touch.
+
+    Plan gate: tests/test_plans.py::test_fetch_plan_never_shuffles_corpus
+    asserts BroadcastHashJoin + no Exchange carrying ``bytes``.
     """
-    payload = scheduled.join(
-        corpus.select("image_id", "bytes", "w", "h", "fmt", "caption", "phash"),
-        "image_id",
-        "left",
+    hits = corpus.select("image_id", "bytes", "w", "h", "fmt", "caption", "phash").join(
+        F.broadcast(scheduled), "image_id", "inner"
     )
-    return payload.mapInPandas(_fetch_kernel, FETCH_OUT_SCHEMA)
+    fetched = hits.mapInPandas(_fetch_kernel, FETCH_OUT_SCHEMA)
+    misses = scheduled.join(corpus.select("image_id"), "image_id", "left_anti")
+    quarantined = misses.mapInPandas(_miss_kernel, FETCH_OUT_SCHEMA)
+    return fetched.unionByName(quarantined)
+
+
+# ---------------------------------------------------------------------
+# bucketed corpus: storage-partitioned pruning for the fetch join
+# ---------------------------------------------------------------------
+def corpus_bucket(image_id_col, n_buckets: int):
+    """Bucket id for the corpus table layout: pmod(xxhash64(image_id), n).
+    Both the writer (write_bucketed_corpus) and the reader
+    (read_corpus_for_schedule) derive it from image_id, so bucket
+    pruning is exact — the Iceberg ``bucket(n, image_id)`` partition
+    transform analog."""
+    return F.pmod(F.xxhash64(image_id_col), F.lit(n_buckets)).cast("int")
+
+
+def write_bucketed_corpus(table, corpus: DataFrame, n_buckets: int) -> int:
+    """Materialize the corpus into a SnapshotTable partitioned by
+    ``img_bucket`` so per-round reads prune cold payload files. The
+    table must be created with partition_col='img_bucket'."""
+    return table.overwrite(
+        corpus.withColumn("img_bucket", corpus_bucket(F.col("image_id"), n_buckets)))
+
+
+def read_corpus_for_schedule(spark, table, scheduled: DataFrame, n_buckets: int) -> DataFrame:
+    """Read ONLY the corpus files whose bucket appears in the schedule.
+
+    The bucket set is ≤ n_buckets small ints (one tiny aggregate over
+    the already-persisted schedule); file skipping happens at the
+    manifest level, so a round that touches 3 of 1024 buckets reads 3
+    buckets' payload files and nothing else — the 'never rescan cold
+    payload files' clause of the 100 TB design."""
+    buckets = [r[0] for r in scheduled.select(
+        corpus_bucket(F.col("image_id"), n_buckets).alias("b")).distinct().collect()]
+    return table.read_pruned(spark, buckets)

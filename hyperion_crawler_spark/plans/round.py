@@ -115,8 +115,15 @@ def init_frontier(spark: SparkSession, cat, cfg: CrawlConfig, seeds: DataFrame) 
 
 
 def run_round(spark: SparkSession, cat, cfg: CrawlConfig, round_idx: int,
-              corpus: DataFrame, links: DataFrame, robots: DataFrame) -> dict:
-    """Execute crawl round ``round_idx`` (≥1) and commit its snapshot."""
+              corpus: DataFrame | None, links: DataFrame, robots: DataFrame,
+              corpus_table=None, corpus_buckets: int = 0) -> dict:
+    """Execute crawl round ``round_idx`` (≥1) and commit its snapshot.
+
+    ``corpus`` may be a plain DataFrame (test scale), or pass
+    ``corpus_table`` (a SnapshotTable partitioned by ``img_bucket``,
+    written via ``fetch.write_bucketed_corpus``) + ``corpus_buckets``:
+    the fetch then reads ONLY payload files whose bucket the round's
+    schedule touches — manifest-level pruning of the 100 TB table."""
     frontier_t = _frontier_table(cat)
     seen_t = cat.table("seen_filters", "shard")
     seen_exact_t = cat.table("seen_exact", "shard")
@@ -143,6 +150,10 @@ def run_round(spark: SparkSession, cat, cfg: CrawlConfig, round_idx: int,
     scheduled, excluded = schedule_round(eligible, robots, cfg)
     scheduled = scheduled.persist()
 
+    if corpus_table is not None:
+        from .fetch import read_corpus_for_schedule
+
+        corpus = read_corpus_for_schedule(spark, corpus_table, scheduled, corpus_buckets)
     results = fetch_and_validate(scheduled, corpus).persist()
     fetched = results.filter(F.col("status") == "fetched")
 
@@ -200,12 +211,12 @@ def run_round(spark: SparkSession, cat, cfg: CrawlConfig, round_idx: int,
     retry_rows = res_updates.filter(F.col("status") == "queued")
     terminal_rows = (res_updates.filter(F.col("status") != "queued")
                      .unionByName(excl_updates.select(*FRONTIER_COLS)))
-    # persisted: SnapshotTable.merge evaluates its source three times
-    # (partition values, anti-join key set, union write)
+    # merge() persists its source internally; archive_rows stays pinned
+    # here because it also feeds the archive append below
     frontier_merge = (
         retry_rows.select(*FRONTIER_COLS)
         .unionByName(new_rows.select(*FRONTIER_COLS))
-    ).persist()
+    )
     archive_rows = terminal_rows.select(*FRONTIER_COLS) \
         .withColumn("archived_round", F.lit(round_idx)).persist()
 
@@ -263,7 +274,7 @@ def run_round(spark: SparkSession, cat, cfg: CrawlConfig, round_idx: int,
     cat.commit_round(round_idx, versions)
 
     for df in (scheduled, results, cand, unseen, probe_cache,
-               res_updates, frontier_merge, archive_rows):
+               res_updates, archive_rows):
         df.unpersist()
     return {
         "round": round_idx, "scheduled": n_sched, "fetched": n_fetched,

@@ -158,6 +158,20 @@ class SnapshotTable:
             return None
         return spark.read.parquet(*[os.path.join(self.dir, f["path"]) for f in files])
 
+    def read_pruned(self, spark: SparkSession, part_values: list[int],
+                    version: int | None = None) -> DataFrame:
+        """Read only the files whose partition stats intersect
+        ``part_values`` (manifest-level file skipping — the Iceberg
+        partition-pruned scan analog). Files with unknown stats are
+        always read (safe)."""
+        if not part_values:
+            return spark.createDataFrame([], self.read(spark, version).schema)
+        _, hit = self._prune(part_values, self._live_files(version))
+        if not hit:
+            return spark.createDataFrame([], self.read(spark).schema) if self._live_files(version) \
+                else None
+        return spark.read.parquet(*[os.path.join(self.dir, f["path"]) for f in hit])
+
     def append(self, df: DataFrame, meta: dict | None = None,
                base_version: int | None = None) -> int:
         """Append on top of ``base_version`` (default: current). A round
@@ -193,13 +207,47 @@ class SnapshotTable:
         base/loader.py:144-186); ``delete_keys`` rows (same key columns,
         plus the partition column for pruning) are removed — the
         frontier uses this to retire fetched/terminal URLs so the
-        pending queue stays the working set, not all-URLs-ever. Only
-        files whose partition stats intersect the source's (and delete
-        set's) partition values are rewritten.
+        pending queue stays the working set, not all-URLs-ever. A key
+        present in BOTH source and delete_keys is DELETED (the DELETE
+        branch wins, as the docstring semantics require). Only files
+        whose partition stats intersect the source's (and delete set's)
+        partition values are rewritten; an all-empty source+delete set
+        commits the carried file list unchanged (an idle round must not
+        rewrite a 10^10-row table).
+
+        The source (and delete set) are evaluated up to three times
+        (partition-value collect, survivor anti-join, union write) —
+        merge persists them internally; callers need not.
         """
+        pinned: list[DataFrame] = []
+
+        def _pin(df: DataFrame) -> DataFrame:
+            lvl = df.storageLevel
+            if not (lvl.useMemory or lvl.useDisk):  # respect caller's cache
+                df.persist()
+                pinned.append(df)
+            return df
+
+        source = _pin(source)
+        if delete_keys is not None:
+            delete_keys = _pin(delete_keys)
+        try:
+            return self._merge_impl(spark, source, keys, delete_keys, meta, base_version)
+        finally:
+            for df in pinned:
+                df.unpersist()
+
+    def _merge_impl(self, spark: SparkSession, source: DataFrame, keys: list[str],
+                    delete_keys: DataFrame | None, meta: dict | None,
+                    base_version: int | None) -> int:
+        # DELETE-wins: drop source rows whose key is also in delete_keys
+        alive = source
+        if delete_keys is not None:
+            alive = source.join(delete_keys.select(*keys).distinct(), keys, "left_anti")
+
         files = self._live_files(base_version)
         if not files:
-            return self._commit(self._write_data(source), meta)
+            return self._commit(self._write_data(alive), meta)
 
         touch_cols = [source]
         if delete_keys is not None:
@@ -209,6 +257,8 @@ class SnapshotTable:
             parts = set()
             for d in touch_cols:
                 parts.update(r[0] for r in d.select(self.partition_col).distinct().collect())
+            if not parts:  # idle merge: nothing touched, carry files as-is
+                return self._commit(files, meta)
             keep, rewrite = self._prune(sorted(parts), files)
         else:
             keep, rewrite = [], files
@@ -220,10 +270,10 @@ class SnapshotTable:
             if delete_keys is not None:
                 gone = gone.unionByName(delete_keys.select(*keys))
             survivors = target.join(gone.distinct(), keys, "left_anti")
-            merged = survivors.select(*target.columns).unionByName(source.select(*target.columns))
+            merged = survivors.select(*target.columns).unionByName(alive.select(*target.columns))
             new_entries += self._write_data(merged)
         else:
-            new_entries += self._write_data(source)
+            new_entries += self._write_data(alive)
         return self._commit(new_entries, meta)
 
     def _prune(self, part_values: list[int], files: list[dict] | None = None

@@ -136,3 +136,30 @@ def test_gemm_topk_matches_fold_topk(spark):
         assert abs(cf - cg) <= 2e-6
         # neighbor identity may differ only on cosine ties
         assert nf == ng or abs(cf - cg) <= 2e-6
+
+
+def test_word_ngrams_short_texts_yield_empty(spark):
+    """Docs with < n tokens must produce an EMPTY shingle set, not a
+    SparkRuntimeException from sequence(1,0) → slice(toks, 0, n)
+    (engine/oracle divergence: SQL generate_series(1,0) is empty)."""
+    df = spark.createDataFrame(
+        [(1, "one two"), (2, "solo"), (3, ""), (4, "one two three four")],
+        "doc_id int, text string")
+    m = {r["doc_id"]: r["g"] for r in
+         df.select("doc_id", DD.word_ngrams(F.col("text"), 3).alias("g")).collect()}
+    assert m[1] == [] and m[2] == [] and m[3] == []
+    assert m[4] == ["one two three", "two three four"]
+
+
+def test_dedup_pipelines_survive_short_texts(spark):
+    """End-to-end: jaccard / minhash / LSH over a frame containing
+    sub-n-token docs must run without error."""
+    base = _docs(spark, 20)
+    shorties = spark.createDataFrame(
+        [(900001, "tiny"), (900002, "two words"), (900003, "")],
+        "doc_id int, text string").withColumn("doc_id", F.col("doc_id").cast("long"))
+    d = base.unionByName(shorties)
+    assert DD.ngram_jaccard_pairs(d, "doc_id", "text").count() >= 0
+    sigs = d.select("doc_id", DD.minhash_signature(F.col("text")).alias("sig")).collect()
+    assert len(sigs) == 23
+    assert DD.minhash_lsh_pairs(d, "doc_id", "text").count() >= 0

@@ -52,3 +52,19 @@ def test_video_audio_stubbed(spark, fixture_dfs):
 def test_bytes_pruned_from_stats_output(spark, fixture_dfs):
     out = MM.image_stats(fixture_dfs["corpus"].limit(5))
     assert "bytes" not in out.columns
+
+
+def test_block_means_match_naive_loop():
+    """The integral-image fast path must reproduce the looped block
+    means bit-for-bit (exact-integer partial sums in float64)."""
+    rng = np.random.Generator(np.random.PCG64(7))
+    for (h, w, oh, ow) in [(16, 16, 8, 8), (17, 23, 8, 8), (9, 31, 4, 6), (32, 16, 8, 8)]:
+        px = rng.integers(0, 256, size=(h, w, 3)).astype(np.uint8)
+        got = MM._block_means(px, oh, ow)
+        ys = (np.arange(oh + 1) * h) // oh
+        xs = (np.arange(ow + 1) * w) // ow
+        want = np.empty((oh, ow, 3))
+        for i in range(oh):
+            for j in range(ow):
+                want[i, j] = px[ys[i]:ys[i + 1], xs[j]:xs[j + 1]].astype(np.float64).mean(axis=(0, 1))
+        assert np.array_equal(got, want), (h, w, oh, ow)

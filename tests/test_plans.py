@@ -82,3 +82,56 @@ def test_embedding_topk_broadcasts_queries(spark):
 
     p = _plan(E.q20_embedding_topk(spark, SF))
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+
+
+def _formatted_plan(df) -> str:
+    jvm = df.sparkSession.sparkContext._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def _scheduled_shape(fixture_dfs):
+    seeds = fixture_dfs["seeds"]
+    return seeds.select(
+        F.xxhash64("url").alias("urlhash"), "url",
+        F.lower(F.regexp_extract("url", r"://([^/:]+)", 1)).alias("host"),
+        "image_id", F.lit(0).alias("retry_count"), "priority",
+        F.lit(0).alias("shard"), F.lit(0).alias("discovered_round"))
+
+
+def test_fetch_plan_never_shuffles_corpus(spark, fixture_dfs):
+    """The 100 TB gate: the corpus payload (BinaryType ``bytes``) must
+    never cross an Exchange — the schedule is broadcast into an inner
+    BroadcastHashJoin and the anti-join projects only image_id."""
+    from hyperion_crawler_spark.plans.fetch import fetch_and_validate
+
+    df = fetch_and_validate(_scheduled_shape(fixture_dfs), fixture_dfs["corpus"])
+    p = _formatted_plan(df)
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    for block in p.split("\n\n"):
+        first = block.strip().splitlines()[0] if block.strip() else ""
+        if re.match(r"\(\d+\) .*Exchange", first):
+            assert "bytes#" not in block, f"payload crosses an Exchange:\n{block}"
+
+
+def test_bucketed_corpus_read_prunes_files(spark, fixture_dfs, tmp_path):
+    """Storage-partition pruning: a schedule touching a few buckets must
+    read only those buckets' payload files from the corpus table."""
+    from hyperion_crawler_spark.plans import fetch as FT
+    from hyperion_crawler_spark.sources.tables import SnapshotTable
+
+    n_buckets = 16
+    t = SnapshotTable(str(tmp_path), "corpus", "img_bucket")
+    FT.write_bucketed_corpus(t, fixture_dfs["corpus"], n_buckets)
+    sched = fixture_dfs["corpus"].select("image_id").orderBy("image_id").limit(5)
+    touched = {r[0] for r in sched.select(
+        FT.corpus_bucket(F.col("image_id"), n_buckets).alias("b")).distinct().collect()}
+    pruned = FT.read_corpus_for_schedule(spark, t, sched, n_buckets)
+    files = pruned.inputFiles()
+    all_files = t.read(spark).inputFiles()
+    assert files and len(files) < len(all_files), "no file skipping happened"
+    for f in files:
+        m = re.search(r"_pv=(\d+)", f)
+        assert m and int(m.group(1)) in touched, f"cold file read: {f}"
+    assert pruned.join(sched, "image_id", "left_semi").count() == 5

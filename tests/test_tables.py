@@ -82,3 +82,36 @@ def test_merge_with_delete_keys(spark, tmp_path):
     dels = spark.createDataFrame([(3, 3)], "k int, shard int")
     t.merge(spark, src, ["k"], delete_keys=dels)
     assert _rows(t.read(spark)) == [(1, 1, "a"), (2, 2, "B"), (4, 4, "d")]
+
+
+def test_merge_delete_wins_over_source(spark, tmp_path):
+    # a key in BOTH source and delete_keys is deleted, not re-inserted
+    t = Catalog(str(tmp_path)).table("t7", "shard")
+    t.append(spark.createDataFrame([(1, 1, "a"), (2, 2, "b")], "k int, shard int, v string"))
+    src = spark.createDataFrame([(2, 2, "B"), (3, 3, "c")], "k int, shard int, v string")
+    dels = spark.createDataFrame([(2, 2), (3, 3)], "k int, shard int")
+    t.merge(spark, src, ["k"], delete_keys=dels)
+    assert _rows(t.read(spark)) == [(1, 1, "a")]
+
+
+def test_merge_empty_source_carries_files_unchanged(spark, tmp_path):
+    # idle round: an all-empty merge must NOT rewrite the table
+    t = Catalog(str(tmp_path)).table("t8", "shard")
+    t.append(spark.range(100).select(
+        F.pmod("id", F.lit(4)).cast("int").alias("shard"), F.col("id").alias("v")))
+    files_before = {f["path"] for f in t._live_files()}
+    empty = spark.createDataFrame([], "shard int, v long")
+    t.merge(spark, empty, ["v"], delete_keys=spark.createDataFrame([], "v long, shard int"))
+    files_after = {f["path"] for f in t._live_files()}
+    assert files_after == files_before, "empty merge rewrote live files"
+    assert t.read(spark).count() == 100
+
+
+def test_read_pruned_skips_cold_partitions(spark, tmp_path):
+    t = Catalog(str(tmp_path)).table("t9", "shard")
+    t.append(spark.range(200).select(
+        F.pmod("id", F.lit(8)).cast("int").alias("shard"), F.col("id").alias("v")))
+    pruned = t.read_pruned(spark, [2, 5])
+    assert set(r[0] for r in pruned.select("shard").distinct().collect()) == {2, 5}
+    assert len(pruned.inputFiles()) < len(t.read(spark).inputFiles())
+    assert t.read_pruned(spark, []).count() == 0

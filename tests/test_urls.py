@@ -24,6 +24,11 @@ GOLDEN = [
     ("http://host.example/a/./b/../c", "http://host.example/a/c"),
     ("http://host.example", "http://host.example/"),
     ("http://host.example/p/1?UTM_CAMPAIGN=z", "http://host.example/p/1"),
+    # interior/edge empty params must collapse identically in both impls
+    ("http://host.example/p/1?a=1&&b=2", "http://host.example/p/1?a=1&b=2"),
+    ("http://host.example/p/1?&&&a=1&&", "http://host.example/p/1?a=1"),
+    ("http://host.example/p/1?&", "http://host.example/p/1"),
+    ("http://host.example/p/1?a=1&&utm_x=2&&&b=3", "http://host.example/p/1?a=1&b=3"),
     ("not a url #x", "not a url "),
 ]
 
@@ -45,7 +50,8 @@ url_strategy = st.builds(
     st.from_regex(r"[A-Za-z][A-Za-z0-9.-]{0,12}", fullmatch=True),
     st.sampled_from(["", ":80", ":443", ":8080"]),
     st.from_regex(r"(/[a-z0-9._~/%-]{0,10}){0,3}", fullmatch=True),
-    st.sampled_from(["", "?a=1", "?utm_source=t", "?a=1&utm_x=2&b=3", "?utm_a=1&utm_b=2"]),
+    st.sampled_from(["", "?a=1", "?utm_source=t", "?a=1&utm_x=2&b=3", "?utm_a=1&utm_b=2",
+                     "?a=1&&b=2", "?&&", "?&a=1&", "?utm_x&&a", "?a&&&&b&utm_s=1&&"]),
     st.sampled_from(["", "#f", "#a/b?c"]),
 )
 
