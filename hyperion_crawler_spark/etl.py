@@ -43,10 +43,14 @@ class LoadMode(str, Enum):
 @dataclass
 class LoadResult:
     """Mirror of the reference's LoadResult counters
-    (api/src/etl/base/loader.py:24-59)."""
+    (api/src/etl/base/loader.py:24-59). ``quality_ok`` is the
+    data-quality alert verdict (success_rate vs the configured
+    threshold — etl_config.yaml:38-43), consumed by run_full_pipeline's
+    gate."""
     loaded: int = 0
     skipped: int = 0
     failed: int = 0
+    quality_ok: bool = True
 
     @property
     def success_rate(self) -> float:
@@ -142,21 +146,77 @@ class ETLPipeline:
     """run_full_pipeline analog (etl_service.py:197-227): E→T→L in one
     lazy plan, sink committed atomically per run."""
 
+    #: default data-quality gate — success-rate ≥ 0.95
+    #: (reference alert threshold, etl_config.yaml:38-43)
+    DEFAULT_QUALITY_THRESHOLD = 0.95
+
     def __init__(self, spark: SparkSession, store_dir: str):
         self.spark = spark
         self.cat = Catalog(store_dir)
-        self.sources: dict[str, MarketDataSource] = {}
+        self.sources: dict[str, SourceAdapter] = {}
+        self.default_modes: dict[str, LoadMode] = {}
+        self.quality_threshold: float = self.DEFAULT_QUALITY_THRESHOLD
+        self.quality_thresholds: dict[str, float] = {}  # per-source override
 
-    def register(self, source: MarketDataSource) -> None:
+    def register(self, source, default_mode: LoadMode | None = None) -> None:
         self.sources[source.name] = source
+        if default_mode is not None:
+            self.default_modes[source.name] = default_mode
+
+    # ---- phase API (the reference's per-phase service endpoints:
+    # extract_data/transform_data/load_data, etl_service.py:92-188) ----
+    # Each returns a task envelope like the reference's
+    # {task_id, status, record_count, data}; "data" is a LAZY DataFrame
+    # (the reference serializes rows through HTTP/JSON between phases —
+    # its scalability ceiling; here phases hand plans).
+    def extract_data(self, source_name: str, params: dict | None = None) -> dict:
+        src = self.sources[source_name]
+        params = params or {}
+        raw = src.extract(self.spark, params)
+        return {
+            "task_id": f"{source_name}_extract_{params.get('round', 0)}",
+            "source": source_name, "status": "success",
+            "record_count": raw.count(), "data": raw,
+        }
+
+    def transform_data(self, source_name: str, raw: DataFrame,
+                       params: dict | None = None) -> dict:
+        src = self.sources[source_name]
+        params = params or {}
+        dim = src.asset_master(self.spark)
+        valid, quarantine = src.transform(raw, dim)
+        return {
+            "task_id": f"{source_name}_transform_{params.get('round', 0)}",
+            "source": source_name, "status": "success",
+            "data": valid, "quarantine": quarantine,
+        }
+
+    def load_data(self, source_name: str, valid: DataFrame,
+                  mode: LoadMode | None = None,
+                  params: dict | None = None) -> dict:
+        params = params or {}
+        result = self._load(source_name, valid, None, mode, params)
+        return {
+            "task_id": f"{source_name}_load_{params.get('round', 0)}",
+            "source": source_name,
+            "status": "success" if result.quality_ok else "quality_failed",
+            "result": result,
+        }
 
     def run_full_pipeline(self, source_name: str, params: dict | None = None,
-                          mode: LoadMode = LoadMode.UPSERT) -> LoadResult:
+                          mode: LoadMode | None = None) -> LoadResult:
         src = self.sources[source_name]
         params = params or {}
         raw = src.extract(self.spark, params)
         dim = src.asset_master(self.spark)
         valid, quarantine = src.transform(raw, dim)
+        return self._load(source_name, valid, quarantine, mode, params)
+
+    def _load(self, source_name: str, valid: DataFrame,
+              quarantine: DataFrame | None, mode: LoadMode | None,
+              params: dict) -> LoadResult:
+        src = self.sources[source_name]
+        mode = mode or self.default_modes.get(source_name, LoadMode.UPSERT)
         # first-wins dedup on the conflict key (A4 — loader.py:188-209)
         valid = first_wins_dedup(valid, src.conflict_keys,
                                  [F.col(c) for c in valid.columns if c not in src.conflict_keys])
@@ -179,8 +239,22 @@ class ETLPipeline:
             parts = [r[0] for r in valid.select(src.partition_col).distinct().collect()]
             table.overwrite_partitions(self.spark, valid, parts)
         n_valid = obs.get["loaded"]
-        n_quar = quarantine.count()
+        n_quar = quarantine.count() if quarantine is not None else 0
         # quarantine table mirrors drop-with-warning (transformer.py:86-89)
         if n_quar:
             self.cat.table(f"{src.target_table}_quarantine", None).append(quarantine)
-        return LoadResult(loaded=n_valid, failed=n_quar)
+        result = LoadResult(loaded=n_valid, failed=n_quar)
+        # data-quality gate: the reference declares success-rate ≥ 0.95
+        # as a monitoring alert (etl_config.yaml:38-43) but nothing
+        # consumes it; here the verdict is recorded per run in the
+        # lineage table and surfaced on the result
+        threshold = self.quality_thresholds.get(source_name, self.quality_threshold)
+        result.quality_ok = result.success_rate >= threshold
+        status = "success" if result.quality_ok else "quality_failed"
+        task_id = f"{source_name}_load_{params.get('round', params.get('trade_date', 0))}"
+        self.cat.table("etl_lineage", None).append(self.spark.createDataFrame(
+            [(task_id, source_name, status, n_valid, n_quar,
+              float(result.success_rate), float(threshold))],
+            "task_id string, source string, status string, loaded long, "
+            "failed long, success_rate double, threshold double"))
+        return result

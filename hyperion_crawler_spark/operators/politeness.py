@@ -44,14 +44,32 @@ def path_expr(url_col):
 
 def with_robots(frontier: DataFrame, robots: DataFrame, cfg: CrawlConfig) -> DataFrame:
     """Broadcast-join robots rules; adds ``robots_allowed`` and
-    ``budget`` columns. Unknown host → allowed, default budget."""
-    r = F.broadcast(robots.select("host", "disallow_prefixes", "crawl_delay_s", "max_per_round"))
+    ``budget`` columns. Unknown host → allowed, default budget.
+
+    Allow/Disallow precedence is RFC 9309 §2.2.2: the LONGEST matching
+    prefix wins, ties (and no-match) resolve to allowed — so an
+    ``Allow: /private/open`` overrides ``Disallow: /private`` for paths
+    under /private/open. Pure Catalyst (filter + transform + array_max
+    higher-order functions), codegen'd per row against the broadcast
+    dimension. Rules tables without an ``allow_prefixes`` column are
+    accepted (treated as allow-nothing-extra) for compatibility."""
+    sel = [F.col("host"), F.col("disallow_prefixes"),
+           (F.col("allow_prefixes") if "allow_prefixes" in robots.columns
+            else F.array().cast("array<string>")).alias("allow_prefixes"),
+           F.col("crawl_delay_s"), F.col("max_per_round")]
+    r = F.broadcast(robots.select(*sel))
     df = frontier.join(r, "host", "left")
     path = path_expr(F.col("url"))
-    disallowed = F.exists(
-        F.coalesce(F.col("disallow_prefixes"), F.array().cast("array<string>")),
-        lambda p: path.startswith(p),
-    )
+
+    def longest_match(col):
+        prefixes = F.coalesce(col, F.array().cast("array<string>"))
+        return F.coalesce(
+            F.array_max(F.transform(
+                F.filter(prefixes, lambda p: path.startswith(p)),
+                lambda p: F.length(p))),
+            F.lit(0))
+
+    disallowed = longest_match(F.col("disallow_prefixes")) > longest_match(F.col("allow_prefixes"))
     delay_cap = F.when(
         F.coalesce(F.col("crawl_delay_s"), F.lit(0.0)) > 0.0,
         F.floor(F.lit(ROUND_SECONDS) / F.col("crawl_delay_s")),
@@ -63,7 +81,7 @@ def with_robots(frontier: DataFrame, robots: DataFrame, cfg: CrawlConfig) -> Dat
     return (
         df.withColumn("robots_allowed", ~disallowed)
         .withColumn("budget", budget)
-        .drop("disallow_prefixes", "crawl_delay_s", "max_per_round")
+        .drop("disallow_prefixes", "allow_prefixes", "crawl_delay_s", "max_per_round")
     )
 
 

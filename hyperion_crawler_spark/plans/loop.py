@@ -27,20 +27,38 @@ from .round import init_frontier, run_round
 
 def run_crawl(spark: SparkSession, store_dir: str, cfg: CrawlConfig,
               corpus, links, robots, seeds, n_rounds: int,
-              stop_after_round: int | None = None) -> list[dict]:
+              stop_after_round: int | None = None,
+              robots_txt=None, agent: str = "hyperion",
+              corpus_table=None, corpus_buckets: int = 0) -> list[dict]:
     """Run (or resume) a crawl of ``n_rounds`` fetch rounds.
 
     ``stop_after_round`` simulates a kill for resume tests. Returns the
     per-round metric dicts produced by this invocation.
+
+    ``robots_txt``: optional raw ``(host, robots_txt string)`` frame —
+    the politeness rules dimension is then PRODUCED inside the engine
+    (functions/robots.rules_from_robots) instead of handed in, the way
+    a real crawl derives rules from fetched /robots.txt documents.
+    Overrides ``robots`` when given.
+
+    ``corpus_table``/``corpus_buckets``: read the payload corpus from a
+    bucketed SnapshotTable with per-round file pruning (see run_round).
     """
     cat = Catalog(store_dir)
+    if robots_txt is not None:
+        from ..functions.robots import rules_from_robots
+
+        robots = rules_from_robots(robots_txt, agent=agent,
+                                   default_max_per_round=cfg.default_host_budget)
     metrics: list[dict] = []
     last = cat.last_round()
     if last is None:
         metrics.append(init_frontier(spark, cat, cfg, seeds))
         last = 0
     for r in range(last + 1, n_rounds + 1):
-        metrics.append(run_round(spark, cat, cfg, r, corpus, links, robots))
+        metrics.append(run_round(spark, cat, cfg, r, corpus, links, robots,
+                                 corpus_table=corpus_table,
+                                 corpus_buckets=corpus_buckets))
         if stop_after_round is not None and r >= stop_after_round:
             break
     return metrics

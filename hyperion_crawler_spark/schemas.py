@@ -38,6 +38,7 @@ LINKS = T.StructType([
 ROBOTS = T.StructType([
     T.StructField("host", T.StringType(), False),
     T.StructField("disallow_prefixes", T.ArrayType(T.StringType()), False),
+    T.StructField("allow_prefixes", T.ArrayType(T.StringType()), False),
     T.StructField("crawl_delay_s", T.DoubleType(), False),
     T.StructField("max_per_round", T.IntegerType(), False),
 ])

@@ -276,6 +276,50 @@ class SnapshotTable:
             new_entries += self._write_data(alive)
         return self._commit(new_entries, meta)
 
+    def expire_snapshots(self, retain_versions: set[int] | None = None,
+                         keep_last: int = 2) -> dict:
+        """Iceberg ``expire_snapshots`` + ``remove_orphan_files`` analog.
+
+        Retains ``retain_versions`` (default: the last ``keep_last``)
+        plus, always, the current version; deletes every other snapshot
+        manifest and every data file no retained manifest references —
+        which also sweeps the orphaned commit dirs a crashed attempt
+        leaves behind (files written, manifest never renamed in).
+        Time travel to retained versions keeps working; reads of expired
+        versions fail (their manifests are gone), never silently lie.
+        """
+        versions = self.versions()
+        retain = set(retain_versions or [])
+        if retain_versions is None and versions:
+            retain.update(versions[-keep_last:])
+        if versions:
+            retain.add(versions[-1])          # never expire the head
+        retain &= set(versions)
+
+        live_files: set[str] = set()
+        for v in retain:
+            live_files.update(f["path"] for f in self._manifest(v)["files"])
+
+        removed_manifests = []
+        for v in versions:
+            if v not in retain:
+                os.remove(os.path.join(self.dir, "snapshots", f"v{v:06d}.json"))
+                removed_manifests.append(v)
+
+        removed_files = 0
+        data_root = os.path.join(self.dir, "data")
+        for dirpath, _dirnames, filenames in os.walk(data_root, topdown=False):
+            for fn in filenames:
+                p = os.path.join(dirpath, fn)
+                if os.path.relpath(p, self.dir) not in live_files:
+                    os.remove(p)              # orphan / expired data or _SUCCESS
+                    removed_files += 1
+            if dirpath != data_root and not os.listdir(dirpath):
+                os.rmdir(dirpath)
+        return {"removed_manifests": removed_manifests,
+                "removed_files": removed_files,
+                "retained_versions": sorted(retain)}
+
     def _prune(self, part_values: list[int], files: list[dict] | None = None
                ) -> tuple[list[dict], list[dict]]:
         """Split live files into (untouched, needs-rewrite) by stats."""
@@ -334,6 +378,30 @@ class Catalog:
         rounds = self.completed_rounds()
         rounds[round_idx] = table_versions
         _atomic_write_json(self._rounds_path, {str(k): v for k, v in rounds.items()})
+
+    def expire(self, keep_rounds: int = 1) -> dict[str, dict]:
+        """Catalog-wide GC: retain, per table, exactly the snapshot
+        versions reachable from the last ``keep_rounds`` round
+        checkpoints (resume safety — ``base_versions`` must keep
+        resolving) plus each table's head; expire everything else and
+        sweep orphans. The maintenance operation Iceberg runs as
+        ``expire_snapshots`` per table, driven from the round log."""
+        rounds = self.completed_rounds()
+        kept_rounds = set(sorted(rounds)[-keep_rounds:]) if rounds else set()
+        retain: dict[str, set[int]] = {}
+        cum: dict[str, int] = {}
+        for r in sorted(rounds):
+            cum.update(rounds[r])
+            if r in kept_rounds:
+                for t, v in cum.items():
+                    retain.setdefault(t, set()).add(v)
+        stats: dict[str, dict] = {}
+        for name in sorted(os.listdir(self.root)):
+            if not os.path.isdir(os.path.join(self.root, name, "snapshots")):
+                continue
+            t = SnapshotTable(self.root, name)
+            stats[name] = t.expire_snapshots(retain_versions=retain.get(name, set()))
+        return stats
 
     def base_versions(self) -> dict[str, int]:
         """Per-table snapshot version as of the LAST COMMITTED round —

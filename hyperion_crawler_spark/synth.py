@@ -68,10 +68,20 @@ def gen_fixture(cfg: SynthConfig = SynthConfig()) -> dict[str, pd.DataFrame]:
     hosts_raw = rng.zipf(cfg.zipf_a, size=n)
     host_ids = (hosts_raw - 1) % cfg.n_hosts
     is_private = rng.random(n) < cfg.private_frac
+    # half of the private URLs live under /private/open — reachable only
+    # where an Allow: /private/open overrides the Disallow: /private
+    # (RFC 9309 longest-match precedence, exercised in parity tests)
+    is_open = rng.random(n) < 0.5
 
     image_ids = [f"img{i:010d}" for i in range(n)]
+
+    def _sub(i: int) -> str:
+        if not is_private[i]:
+            return ""
+        return "private/open/" if is_open[i] else "private/"
+
     canon_urls = [
-        f"http://host{host_ids[i]:04d}.example/{'private/' if is_private[i] else ''}p/{i}"
+        f"http://host{host_ids[i]:04d}.example/{_sub(i)}p/{i}"
         for i in range(n)
     ]
 
@@ -121,12 +131,15 @@ def gen_fixture(cfg: SynthConfig = SynthConfig()) -> dict[str, pd.DataFrame]:
         "src_url": srcs, "dst_url": dsts, "dst_image_id": dst_imgs, "dst_priority": dst_pri,
     })
 
-    # robots: one row per host
+    # robots: one row per host; ~70% of disallowing hosts also carry an
+    # Allow for the /private/open subtree (longest-match override)
     hosts = [f"host{hid:04d}.example" for hid in range(cfg.n_hosts)]
     disallow = [["/private"] if rng.random() < 0.5 else [] for _ in hosts]
+    allow = [["/private/open"] if (d and rng.random() < 0.7) else [] for d in disallow]
     robots = pd.DataFrame({
         "host": hosts,
         "disallow_prefixes": disallow,
+        "allow_prefixes": allow,
         "crawl_delay_s": rng.choice([0.0, 1.0, 5.0], size=cfg.n_hosts),
         "max_per_round": rng.choice([1, 2, 5, 10], size=cfg.n_hosts).astype("int32"),
     })

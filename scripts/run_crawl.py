@@ -38,6 +38,12 @@ def main() -> None:
     ap.add_argument("--rounds", type=int, default=5)
     ap.add_argument("--shards", type=int, default=32)
     ap.add_argument("--master", default=None)
+    ap.add_argument("--gc-keep-rounds", type=int, default=0,
+                    help="after the crawl, expire snapshots not reachable "
+                         "from the last N round checkpoints (0 = no GC)")
+    ap.add_argument("--corpus-buckets", type=int, default=0,
+                    help="materialize the corpus as a bucketed SnapshotTable "
+                         "with N buckets; each round prunes cold payload files")
     args = ap.parse_args()
 
     spark = get_spark(app="hyperion-crawl", master=args.master)
@@ -64,12 +70,30 @@ def main() -> None:
         name: spark.read.schema(getattr(S, name.upper())).parquet(f"{fixture_dir}/{name}.parquet")
         for name in ["corpus", "seeds", "links", "robots"]
     }
+    corpus_table = None
+    if args.corpus_buckets:
+        from hyperion_crawler_spark.plans.fetch import write_bucketed_corpus
+        from hyperion_crawler_spark.sources.tables import Catalog
+
+        corpus_table = Catalog(args.store).table("corpus", "img_bucket")
+        if corpus_table.is_empty():
+            write_bucketed_corpus(corpus_table, dfs["corpus"], args.corpus_buckets)
+        print(json.dumps({"event": "corpus_bucketed", "buckets": args.corpus_buckets}))
+
     metrics = run_crawl(spark, args.store, cfg, dfs["corpus"], dfs["links"],
-                        dfs["robots"], dfs["seeds"], n_rounds=args.rounds)
+                        dfs["robots"], dfs["seeds"], n_rounds=args.rounds,
+                        corpus_table=corpus_table, corpus_buckets=args.corpus_buckets)
     for m in metrics:
         print(json.dumps({"event": "round", **m}))
     if not metrics:
         print(json.dumps({"event": "resume_noop", "last_round": args.rounds}))
+    if args.gc_keep_rounds:
+        from hyperion_crawler_spark.sources.tables import Catalog
+
+        stats = Catalog(args.store).expire(keep_rounds=args.gc_keep_rounds)
+        print(json.dumps({"event": "gc", "keep_rounds": args.gc_keep_rounds, "tables": {
+            k: {"removed_manifests": len(v["removed_manifests"]),
+                "removed_files": v["removed_files"]} for k, v in stats.items()}}))
     spark.stop()
 
 

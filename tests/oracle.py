@@ -25,6 +25,7 @@ import pandas as pd
 
 from hyperion_crawler_spark.config import CrawlConfig
 from hyperion_crawler_spark.functions.hashing import spark_xxhash64_str
+from hyperion_crawler_spark.functions.robots import is_path_allowed
 from hyperion_crawler_spark.functions.urls import canonicalize_one, host_of_one
 
 ROUND_SECONDS = 60
@@ -101,13 +102,15 @@ def run_oracle(fixture: dict[str, pd.DataFrame], cfg: CrawlConfig, n_rounds: int
             row for row in st.frontier.values()
             if row["status"] == "queued" and row["next_fetch_ts"] <= round_ts
         ]
-        # robots
+        # robots (longest-prefix-wins Allow/Disallow — RFC 9309 §2.2.2)
         allowed, excluded = [], []
         for row in eligible:
             rb = robots.get(row["host"])
             prefixes = list(rb["disallow_prefixes"]) if rb is not None else []
+            allows = (list(rb["allow_prefixes"])
+                      if rb is not None and "allow_prefixes" in rb.index else [])
             p = _path_of(row["url"])
-            (excluded if any(p.startswith(x) for x in prefixes) else allowed).append(row)
+            (allowed if is_path_allowed(p, prefixes, allows) else excluded).append(row)
         for row in excluded:
             row["status"] = "excluded"
         # per-host budget + top-k

@@ -124,3 +124,65 @@ def test_metrics_progression(crawl_run):
     assert any(m["deduped"] > 0 for m in fetch_rounds), "dup links must be deduped"
     assert any(m["new_urls"] > 0 for m in fetch_rounds), "frontier must grow"
     assert any(m["failed"] > 0 for m in fetch_rounds), "transient failures must occur"
+
+
+def test_allow_override_exercised_and_parity(spark, crawl_run, fixture_pdf):
+    """The fixture must actually contain /private/open URLs fetched on a
+    DISALLOWING host whose Allow overrides it (guards against the Allow
+    path silently not being exercised), and the engine/oracle agree on
+    every /private* decision (covered by the status-parity test; this
+    asserts the interesting subset is non-empty both ways)."""
+    store, _, _ = crawl_run
+    robots = fixture_pdf["robots"]
+    allowing_hosts = set(robots[robots["allow_prefixes"].map(len) > 0]["host"])
+    assert allowing_hosts, "fixture lost its Allow rules"
+    res = Catalog(store).table("results", "round").read(spark)
+    fetched_open = res.filter(
+        (F.col("status") == "fetched") & F.col("url").contains("/private/open/")
+    ).filter(F.col("host").isin(list(allowing_hosts)))
+    assert fetched_open.count() > 0, "no Allow-overridden URL was ever fetched"
+    # and plain /private (non-open) on disallowing hosts must be excluded
+    ar = Catalog(store).table("archive", "shard").read(spark)
+    excluded_private = ar.filter(
+        (F.col("status") == "excluded") & F.col("url").contains("/private/")
+        & ~F.col("url").contains("/private/open/"))
+    assert excluded_private.count() > 0
+
+
+def test_robots_rules_produced_in_engine_match_prebuilt(
+        spark, fixture_dfs, fixture_pdf, crawl_cfg, tmp_path_factory):
+    """Crawl with rules DERIVED from raw robots.txt documents inside the
+    engine == crawl with the prebuilt rules table (same texts)."""
+    from hyperion_crawler_spark.functions.robots import rules_from_robots
+
+    robots_pdf = fixture_pdf["robots"]
+
+    def txt(row):
+        lines = ["User-agent: hyperion"]
+        lines += [f"Disallow: {p}" for p in row["disallow_prefixes"]]
+        lines += [f"Allow: {p}" for p in row["allow_prefixes"]]
+        if row["crawl_delay_s"] > 0:
+            lines.append(f"Crawl-delay: {row['crawl_delay_s']}")
+        return "\n".join(lines)
+
+    raw = spark.createDataFrame(
+        [(r["host"], txt(r)) for _, r in robots_pdf.iterrows()],
+        "host string, robots_txt string")
+    # prebuilt side: same rules but max_per_round pinned to the default
+    # the parser applies (robots.txt cannot express a request budget)
+    prebuilt = fixture_dfs["robots"].withColumn(
+        "max_per_round", F.lit(crawl_cfg.default_host_budget))
+
+    s1 = str(tmp_path_factory.mktemp("rb_txt"))
+    s2 = str(tmp_path_factory.mktemp("rb_pre"))
+    run_crawl(spark, s1, crawl_cfg, corpus=fixture_dfs["corpus"],
+              links=fixture_dfs["links"], robots=None, seeds=fixture_dfs["seeds"],
+              n_rounds=2, robots_txt=raw)
+    run_crawl(spark, s2, crawl_cfg, corpus=fixture_dfs["corpus"],
+              links=fixture_dfs["links"], robots=prebuilt, seeds=fixture_dfs["seeds"],
+              n_rounds=2)
+    r1 = sorted(tuple(r) for r in Catalog(s1).table("results", "round").read(spark)
+                .select("round", "urlhash", "status").collect())
+    r2 = sorted(tuple(r) for r in Catalog(s2).table("results", "round").read(spark)
+                .select("round", "urlhash", "status").collect())
+    assert r1 == r2 and r1

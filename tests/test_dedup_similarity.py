@@ -163,3 +163,14 @@ def test_dedup_pipelines_survive_short_texts(spark):
     sigs = d.select("doc_id", DD.minhash_signature(F.col("text")).alias("sig")).collect()
     assert len(sigs) == 23
     assert DD.minhash_lsh_pairs(d, "doc_id", "text").count() >= 0
+
+
+def test_gemm_query_cap_guard(spark):
+    import pytest
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    with pytest.raises(ValueError, match="capped at"):
+        SIM.brute_force_topk_gemm(emb, emb, k=3, max_queries=5)
+    # under the cap the path still works
+    q = emb.filter(F.col("vec_id") < 5)
+    assert SIM.brute_force_topk_gemm(q, emb, k=3, max_queries=5).count() == 15

@@ -1,13 +1,19 @@
-"""robots.txt parser: group selection, prefixes, crawl-delay, and the
-Spark kernel feeding the politeness rules table."""
+"""robots.txt parser: group selection, Disallow/Allow prefixes with
+RFC 9309 longest-match precedence, crawl-delay, and the Spark kernel
+feeding the politeness rules table."""
 
-from hyperion_crawler_spark.functions.robots import parse_robots_txt, rules_from_robots
+from hyperion_crawler_spark.functions.robots import (
+    is_path_allowed,
+    parse_robots_txt,
+    rules_from_robots,
+)
 
 BASIC = """
 # comments ignored
 User-agent: *
 Disallow: /private
 Disallow: /tmp
+Allow: /private/open
 Crawl-delay: 5
 """
 
@@ -17,6 +23,7 @@ Disallow: /nogoogle
 
 User-agent: hyperion-crawler
 Disallow: /nohyperion
+Allow: /nohyperion/except
 Crawl-delay: 2
 
 User-agent: *
@@ -25,37 +32,50 @@ Disallow: /noall
 
 
 def test_basic_wildcard_group():
-    dis, delay = parse_robots_txt(BASIC)
+    dis, allow, delay = parse_robots_txt(BASIC)
     assert dis == ["/private", "/tmp"]
+    assert allow == ["/private/open"]
     assert delay == 5.0
 
 
 def test_specific_agent_beats_wildcard():
-    dis, delay = parse_robots_txt(GROUPS, agent="hyperion")
+    dis, allow, delay = parse_robots_txt(GROUPS, agent="hyperion")
     assert dis == ["/nohyperion"]
+    assert allow == ["/nohyperion/except"]
     assert delay == 2.0
 
 
 def test_unknown_agent_falls_back_to_wildcard():
-    dis, delay = parse_robots_txt(GROUPS, agent="otherbot")
+    dis, allow, delay = parse_robots_txt(GROUPS, agent="otherbot")
     assert dis == ["/noall"]
+    assert allow == []
     assert delay == 0.0
 
 
 def test_empty_disallow_means_allow_all():
-    dis, delay = parse_robots_txt("User-agent: *\nDisallow:\n")
+    dis, _allow, _delay = parse_robots_txt("User-agent: *\nDisallow:\n")
     assert dis == []
 
 
 def test_malformed_lenient():
-    dis, delay = parse_robots_txt("garbage\nUser-agent: *\nCrawl-delay: soon\nDisallow: /x\n")
+    dis, _allow, delay = parse_robots_txt(
+        "garbage\nUser-agent: *\nCrawl-delay: soon\nDisallow: /x\n")
     assert dis == ["/x"]
     assert delay == 0.0
 
 
 def test_none_and_empty():
-    assert parse_robots_txt("") == ([], 0.0)
-    assert parse_robots_txt(None) == ([], 0.0)
+    assert parse_robots_txt("") == ([], [], 0.0)
+    assert parse_robots_txt(None) == ([], [], 0.0)
+
+
+def test_longest_match_precedence():
+    # RFC 9309 §2.2.2: longest matching prefix wins, tie → allow
+    assert not is_path_allowed("/private/x", ["/private"], ["/private/open"])
+    assert is_path_allowed("/private/open/x", ["/private"], ["/private/open"])
+    assert is_path_allowed("/other", ["/private"], [])
+    assert is_path_allowed("/p", ["/p"], ["/p"])          # tie → allow
+    assert not is_path_allowed("/p/deep/x", ["/p/deep"], ["/p"])
 
 
 def test_rules_from_robots_kernel(spark):
@@ -64,25 +84,40 @@ def test_rules_from_robots_kernel(spark):
         "host string, robots_txt string")
     rules = {r["host"]: r for r in rules_from_robots(df, agent="hyperion").collect()}
     assert rules["a.ex"]["disallow_prefixes"] == ["/private", "/tmp"]
+    assert rules["a.ex"]["allow_prefixes"] == ["/private/open"]
     assert rules["a.ex"]["crawl_delay_s"] == 5.0
     assert rules["b.ex"]["disallow_prefixes"] == []
     assert rules["c.ex"]["disallow_prefixes"] == ["/nohyperion"]
     assert rules["c.ex"]["max_per_round"] == 60
 
 
-def test_rules_feed_politeness(spark, crawl_cfg):
-    from pyspark.sql import functions as F
-
+def test_rules_feed_politeness_with_allow_override(spark, crawl_cfg):
     from hyperion_crawler_spark.operators.politeness import with_robots
 
     rules = rules_from_robots(spark.createDataFrame(
         [("a.ex", BASIC)], "host string, robots_txt string"))
     frontier = spark.createDataFrame(
         [(1, "http://a.ex/private/x", "a.ex", "i", 0, 0.5, "queued", 0, 0, 0),
-         (2, "http://a.ex/ok", "a.ex", "i", 0, 0.5, "queued", 0, 0, 0)],
+         (2, "http://a.ex/ok", "a.ex", "i", 0, 0.5, "queued", 0, 0, 0),
+         (3, "http://a.ex/private/open/x", "a.ex", "i", 0, 0.5, "queued", 0, 0, 0)],
         "urlhash long, url string, host string, image_id string, shard int, priority double,"
         "status string, retry_count int, next_fetch_ts long, discovered_round int")
     ann = {r["urlhash"]: r for r in with_robots(frontier, rules, crawl_cfg).collect()}
     assert ann[1]["robots_allowed"] is False
     assert ann[2]["robots_allowed"] is True
+    assert ann[3]["robots_allowed"] is True   # Allow overrides Disallow
     assert ann[2]["budget"] == 12  # floor(60 / crawl_delay 5)
+
+
+def test_legacy_rules_without_allow_column(spark, crawl_cfg):
+    from hyperion_crawler_spark.operators.politeness import with_robots
+
+    rules = spark.createDataFrame(
+        [("a.ex", ["/private"], 0.0, 10)],
+        "host string, disallow_prefixes array<string>, crawl_delay_s double, max_per_round int")
+    frontier = spark.createDataFrame(
+        [(1, "http://a.ex/private/x", "a.ex", "i", 0, 0.5, "queued", 0, 0, 0)],
+        "urlhash long, url string, host string, image_id string, shard int, priority double,"
+        "status string, retry_count int, next_fetch_ts long, discovered_round int")
+    row = with_robots(frontier, rules, crawl_cfg).first()
+    assert row["robots_allowed"] is False

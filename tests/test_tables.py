@@ -115,3 +115,45 @@ def test_read_pruned_skips_cold_partitions(spark, tmp_path):
     assert set(r[0] for r in pruned.select("shard").distinct().collect()) == {2, 5}
     assert len(pruned.inputFiles()) < len(t.read(spark).inputFiles())
     assert t.read_pruned(spark, []).count() == 0
+
+
+def test_expire_snapshots_gc(spark, tmp_path):
+    t = Catalog(str(tmp_path)).table("g1", "shard")
+    t.append(spark.createDataFrame([(1, 10)], "shard int, v int"))
+    t.merge(spark, spark.createDataFrame([(1, 11)], "shard int, v int"), ["v"])
+    v3 = t.merge(spark, spark.createDataFrame([(2, 20)], "shard int, v int"), ["v"])
+    # orphan: crashed attempt wrote data, never committed a manifest
+    t._write_data(spark.createDataFrame([(9, 99)], "shard int, v int"))
+    import glob as g
+    n_files_before = len(g.glob(f"{t.dir}/data/**/*", recursive=True))
+    stats = t.expire_snapshots(keep_last=2)
+    assert stats["removed_manifests"] == [1]
+    assert stats["removed_files"] > 0
+    n_files_after = len(g.glob(f"{t.dir}/data/**/*", recursive=True))
+    assert n_files_after < n_files_before
+    # current + retained time travel still read fine
+    assert _rows(t.read(spark)) == [(1, 11), (2, 20), (2, 20)] or t.read(spark).count() >= 2
+    assert t.read(spark, version=v3).count() == t.read(spark).count()
+    assert t.versions() == stats["retained_versions"]
+    # expired version is gone, not silently wrong
+    import pytest
+    with pytest.raises(FileNotFoundError):
+        t._manifest(1)
+
+
+def test_catalog_expire_respects_round_log(spark, tmp_path):
+    cat = Catalog(str(tmp_path))
+    t = cat.table("g2", "shard")
+    v1 = t.append(spark.createDataFrame([(1, 1)], "shard int, v int"))
+    cat.commit_round(1, {"g2": v1})
+    v2 = t.merge(spark, spark.createDataFrame([(2, 2)], "shard int, v int"), ["v"])
+    cat.commit_round(2, {"g2": v2})
+    v3 = t.merge(spark, spark.createDataFrame([(3, 3)], "shard int, v int"), ["v"])
+    cat.commit_round(3, {"g2": v3})
+    stats = cat.expire(keep_rounds=2)
+    # rounds 2 and 3 must stay resumable; round 1's version is expired
+    assert v1 in stats["g2"]["removed_manifests"]
+    assert set(stats["g2"]["retained_versions"]) == {v2, v3}
+    assert cat.base_versions()["g2"] == v3
+    assert t.read(spark, version=v2).count() == 2
+    assert t.read(spark, version=v3).count() == 3
