@@ -421,6 +421,31 @@ def q34_filing_metadata(spark, sf):
                     "xbrl")
 
 
+def q35_ivf_topk(spark, sf):
+    """IVF coarse-quantizer ANN (scale path beside the LSH tables).
+    No oracle entry by design: centroid training is an iterative
+    DataFrame job, not ANSI-SQL-expressible — recall is measured against
+    brute_force_topk in tests/test_dedup_similarity.py instead, and the
+    driver records the rows-only check."""
+    e = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+    corpus = e.filter(F.col("vec_id") < 2000)
+    queries_df = corpus.filter(F.col("vec_id") % 100 == 0)
+    return SIM.ivf_topk(queries_df, corpus, dim=64, k=5, n_centroids=8, n_probe=4)
+
+
+def q36_pagerank(spark, sf):
+    """Link-graph PageRank (frontier priority re-scoring) — 2 iterations
+    over an edge list derived from lineitem (supplier → part buckets),
+    portable-rounded per iteration so the unrolled-CTE oracle matches."""
+    from hyperion_crawler_spark.operators.graph import pagerank
+
+    li = _t(spark, sf, "lineitem")
+    edges = li.select(
+        F.concat(F.lit("u"), F.col("l_suppkey").cast("string")).alias("src_url"),
+        F.concat(F.lit("u"), (F.col("l_partkey") % 500).cast("string")).alias("dst_url"))
+    return pagerank(edges, iters=2).withColumnRenamed("rank", "pr")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_first_wins_dedup": q01_first_wins_dedup,
@@ -457,6 +482,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q32_target_price": q32_target_price,
         "q33_filing_range": q33_filing_range,
         "q34_filing_metadata": q34_filing_metadata,
+        "q35_ivf_topk": q35_ivf_topk,
+        "q36_pagerank": q36_pagerank,
     }
 
 
@@ -891,5 +918,36 @@ def oracle_sql() -> dict[str, str]:
                    concat('http://filings.example/', CAST(o_orderkey AS VARCHAR)) AS filing_url,
                    '{}' AS xbrl
             FROM orders
+        """,
+        "q36_pagerank": """
+            WITH edges AS (
+              SELECT concat('u', CAST(l_suppkey AS VARCHAR)) AS src,
+                     concat('u', CAST(l_partkey % 500 AS VARCHAR)) AS dst
+              FROM lineitem),
+            nodes AS (
+              SELECT DISTINCT url FROM (
+                SELECT src AS url FROM edges UNION SELECT dst AS url FROM edges)),
+            nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+            deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+            r0 AS (SELECT url, 1.0 / (SELECT n FROM nn) AS rank FROM nodes),
+            c1 AS (
+              SELECT e.dst AS url, sum(r.rank / d.deg) AS s
+              FROM edges e JOIN r0 r ON e.src = r.url JOIN deg d ON e.src = d.src
+              GROUP BY e.dst),
+            r1 AS (
+              SELECT n.url,
+                     floor(((1.0 - 0.85) / (SELECT n FROM nn)
+                            + 0.85 * coalesce(c1.s, 0)) * 1e9 + 0.5) / 1e9 AS rank
+              FROM nodes n LEFT JOIN c1 ON n.url = c1.url),
+            c2 AS (
+              SELECT e.dst AS url, sum(r.rank / d.deg) AS s
+              FROM edges e JOIN r1 r ON e.src = r.url JOIN deg d ON e.src = d.src
+              GROUP BY e.dst),
+            r2 AS (
+              SELECT n.url,
+                     floor(((1.0 - 0.85) / (SELECT n FROM nn)
+                            + 0.85 * coalesce(c2.s, 0)) * 1e9 + 0.5) / 1e9 AS rank
+              FROM nodes n LEFT JOIN c2 ON n.url = c2.url)
+            SELECT url, rank AS pr FROM r2
         """,
     }

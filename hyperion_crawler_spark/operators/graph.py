@@ -1,0 +1,81 @@
+"""Link-graph operators — PageRank priority re-scoring for the frontier.
+
+A crawl scheduler's ``priority`` column is an input in the reference
+(the task parameter dict — /root/reference/api/src/routers/etl.py:
+161-219); at web scale the engine must also be able to DERIVE priority
+from the discovered link graph. ``pagerank`` is the standard batch
+form: per-iteration contribution join + hash aggregate — two narrow
+shuffles per iteration (join on src, groupBy dst), no driver-side
+iteration state beyond the loop counter.
+
+Determinism/portability: float sums are order-dependent, so each
+iteration's rank is snapped to ``digits`` decimals with the portable
+``floor(x·10^d + 0.5)/10^d`` form on BOTH the Spark and the SQL-oracle
+side — iteration inputs are then exact decimals and the residual
+sum-order error (~1e-17) sits far below the rounding grain.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _pround(col, digits: int):
+    s = float(10 ** digits)
+    return F.floor(col * s + F.lit(0.5)) / s
+
+
+def pagerank(links: DataFrame, iters: int = 2, damping: float = 0.85,
+             src: str = "src_url", dst: str = "dst_url",
+             digits: int = 9) -> DataFrame:
+    """Simplified batch PageRank over an edge list (dangling mass
+    dropped — the common simplified form). Returns ``(url, rank)``.
+
+    Node set = every url appearing as src or dst; uniform init 1/N;
+    rank_{t+1}(u) = (1-d)/N + d · Σ_{v→u} rank_t(v)/outdeg(v).
+
+    Plan shape per iteration: edges ⨝ ranks (shuffle on src) →
+    groupBy dst (one shuffle, map-side combinable) → left join back to
+    the node set. N is a driver scalar (one count job at entry). At
+    10^10 edges each iteration is two hash-partitioned shuffles of
+    (url, double) pairs — no fanout beyond the edge list itself.
+    """
+    nodes = (links.select(F.col(src).alias("url"))
+             .unionByName(links.select(F.col(dst).alias("url")))
+             .distinct()).persist()
+    n = nodes.count()
+    deg = links.groupBy(src).agg(F.count("*").alias("deg"))
+    edges = links.select(src, dst).join(deg, src)
+
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    for _ in range(iters):
+        contrib = (edges.join(ranks.withColumnRenamed("url", src), src)
+                   .select(F.col(dst).alias("url"),
+                           (F.col("rank") / F.col("deg")).alias("c")))
+        summed = contrib.groupBy("url").agg(F.sum("c").alias("s"))
+        ranks = nodes.join(summed, "url", "left").select(
+            "url",
+            _pround(F.lit((1.0 - damping) / n)
+                    + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0)),
+                    digits).alias("rank"))
+    out = ranks
+    nodes.unpersist()
+    return out
+
+
+def rescore_frontier_priority(frontier: DataFrame, links: DataFrame,
+                              iters: int = 2, weight: float = 0.5) -> DataFrame:
+    """Blend the frontier's existing priority with link-graph PageRank:
+    ``priority' = (1-w)·priority + w·rank/max(rank)`` — the re-scoring
+    pass a long-running crawl runs between rounds so heavily-linked
+    pages climb the queue. Unknown URLs keep their priority."""
+    pr = pagerank(links, iters=iters)
+    mx = pr.agg(F.max("rank")).first()[0] or 1.0
+    pr_n = pr.select("url", (F.col("rank") / F.lit(mx)).alias("_pr"))
+    return (frontier.join(pr_n, "url", "left")
+            .withColumn("priority",
+                        F.when(F.col("_pr").isNotNull(),
+                               (1.0 - weight) * F.col("priority") + weight * F.col("_pr"))
+                        .otherwise(F.col("priority")))
+            .drop("_pr"))

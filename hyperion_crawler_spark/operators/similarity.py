@@ -191,6 +191,87 @@ def lsh_bucket_topk(queries: DataFrame, corpus: DataFrame, dim: int, k: int = 5,
                   .select("q_id", "n_id", "cos", "rank"))
 
 
+def ivf_topk(queries: DataFrame, corpus: DataFrame, dim: int, k: int = 5,
+             n_centroids: int = 16, n_probe: int = 4, train_iters: int = 1,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF (inverted-file) ANN — the coarse-quantizer scale path
+    alongside the hyperplane LSH tables.
+
+    Train: deterministic seed centroids (the ``n_centroids`` corpus
+    vectors with smallest ``xxhash64(vec_id)`` — no RNG) refined by
+    ``train_iters`` Lloyd steps run AS DATAFRAME JOBS (assign via
+    broadcast-centroid argmax, new centroids via posexplode +
+    per-dimension avg; only n_centroids×dim rows ever reach the
+    driver). Index: one corpus pass assigns each vector to its nearest
+    (unit-normalized) centroid — a plain int bucket column. Search:
+    each query probes its ``n_probe`` nearest centroids and equi-joins
+    the corpus on the bucket id, so the shuffle is ∝ probed-cluster
+    sizes, not |q|·|corpus|; exact cosine + window top-k on the
+    candidates. Standard IVF recall/probe trade-off, measured vs
+    brute_force_topk in tests (same methodology as lsh_bucket_topk).
+
+    At 100 TB the assignment column is materialized once (or bucketed
+    into the table layout) and only probed clusters are scanned — the
+    Iceberg-partition-by-cluster analog of FAISS IVF.
+    """
+    import numpy as np
+
+    def _unit(m: np.ndarray) -> np.ndarray:
+        n = np.linalg.norm(m, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        return m / n
+
+    seeds = (corpus.select(F.col(vec_col).alias("v"),
+                           F.xxhash64(F.col(id_col).cast("string")).alias("h"))
+             .orderBy("h").limit(n_centroids).collect())
+    cents = _unit(np.array([r["v"] for r in seeds], dtype=np.float64))
+
+    def _assign_expr(c: np.ndarray, vec: Column) -> Column:
+        scored = F.array(*[
+            F.named_struct(F.lit("s"),
+                           dot(_as_double(vec), F.array(*[F.lit(float(w)) for w in c[i]])),
+                           F.lit("c"), F.lit(i))
+            for i in range(len(c))
+        ])
+        return F.array_max(scored)["c"]
+
+    for _ in range(train_iters):
+        assigned = corpus.select(_assign_expr(cents, F.col(vec_col)).alias("cid"),
+                                 F.posexplode(F.col(vec_col)).alias("pos", "val"))
+        rows = assigned.groupBy("cid", "pos").agg(F.avg("val").alias("m")).collect()
+        new = cents.copy()
+        by_c: dict[int, list] = {}
+        for r in rows:
+            by_c.setdefault(r["cid"], [None] * dim)[r["pos"]] = r["m"]
+        for cid, vals in by_c.items():
+            if all(v is not None for v in vals):
+                new[cid] = vals
+        cents = _unit(new)
+
+    def _probe_expr(vec: Column) -> Column:
+        scored = F.array(*[
+            F.named_struct(F.lit("s"),
+                           dot(_as_double(vec), F.array(*[F.lit(float(w)) for w in cents[i]])),
+                           F.lit("c"), F.lit(i))
+            for i in range(n_centroids)
+        ])
+        top = F.slice(F.reverse(F.array_sort(scored)), 1, n_probe)
+        return F.transform(top, lambda t: t["c"])
+
+    c_idx = corpus.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"),
+                          _assign_expr(cents, F.col(vec_col)).alias("cid"))
+    q_idx = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"),
+                           F.explode(_probe_expr(F.col(vec_col))).alias("cid"))
+    cand = (q_idx.join(c_idx, "cid")
+            .filter(F.col("q_id") != F.col("n_id"))
+            .select("q_id", "n_id",
+                    F.round(cosine(F.col("q_vec"), F.col("n_vec")), 6).alias("cos")))
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id").asc())
+    return (cand.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= k)
+                .select("q_id", "n_id", "cos", "rank"))
+
+
 def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
                              id_col: str = "vec_id", vec_col: str = "embedding",
                              dim: int = 64, n_planes: int = 8) -> DataFrame:

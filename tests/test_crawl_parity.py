@@ -186,3 +186,28 @@ def test_robots_rules_produced_in_engine_match_prebuilt(
     r2 = sorted(tuple(r) for r in Catalog(s2).table("results", "round").read(spark)
                 .select("round", "urlhash", "status").collect())
     assert r1 == r2 and r1
+
+
+def test_bucketed_corpus_crawl_equals_dataframe_corpus(
+        spark, fixture_dfs, crawl_cfg, tmp_path_factory):
+    """The pruned bucketed-corpus fetch path must produce the exact same
+    crawl as the plain DataFrame corpus (pruning is a plan change, not a
+    semantics change)."""
+    from hyperion_crawler_spark.plans.fetch import write_bucketed_corpus
+
+    s1 = str(tmp_path_factory.mktemp("bk_tbl"))
+    s2 = str(tmp_path_factory.mktemp("bk_df"))
+    ctab = Catalog(s1).table("corpus", "img_bucket")
+    write_bucketed_corpus(ctab, fixture_dfs["corpus"], 16)
+    run_crawl(spark, s1, crawl_cfg, corpus=None, links=fixture_dfs["links"],
+              robots=fixture_dfs["robots"], seeds=fixture_dfs["seeds"], n_rounds=2,
+              corpus_table=ctab, corpus_buckets=16)
+    run_crawl(spark, s2, crawl_cfg, corpus=fixture_dfs["corpus"],
+              links=fixture_dfs["links"], robots=fixture_dfs["robots"],
+              seeds=fixture_dfs["seeds"], n_rounds=2)
+    cols = ["round", "urlhash", "status", "phash", "caption_ok"]
+    r1 = sorted(tuple(r) for r in Catalog(s1).table("results", "round").read(spark)
+                .select(*cols).collect())
+    r2 = sorted(tuple(r) for r in Catalog(s2).table("results", "round").read(spark)
+                .select(*cols).collect())
+    assert r1 == r2 and r1

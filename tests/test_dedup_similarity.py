@@ -174,3 +174,32 @@ def test_gemm_query_cap_guard(spark):
     # under the cap the path still works
     q = emb.filter(F.col("vec_id") < 5)
     assert SIM.brute_force_topk_gemm(q, emb, k=3, max_queries=5).count() == 15
+
+
+def test_ivf_finds_planted_near_copies(spark):
+    """IVF ANN: a barely-perturbed copy must route to the same coarse
+    cluster and surface its source as the top-1 neighbor."""
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    corpus = e.filter(F.col("vec_id") < 300).select("vec_id", "embedding")
+    queries = corpus.filter(F.col("vec_id") < 40).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double") + 0.005).alias("embedding"))
+    got = SIM.ivf_topk(queries, corpus, dim=64, k=1, n_centroids=8, n_probe=2)
+    hits = got.filter(F.col("rank") == 1) \
+              .filter(F.col("n_id") == F.col("q_id") - 100000).count()
+    assert hits >= 32, f"IVF top-1 planted recall {hits}/40"
+
+
+def test_ivf_recall_at_k_vs_brute_force(spark):
+    e = spark.read.parquet(f"{SF}/embeddings.parquet").limit(300)
+    q = e.filter(F.col("vec_id") % 50 == 0)
+    exact = SIM.brute_force_topk(q, e, k=5).collect()
+    ann = SIM.ivf_topk(q, e, dim=64, k=5, n_centroids=8, n_probe=4).collect()
+    ex, an = {}, {}
+    for r in exact:
+        ex.setdefault(r["q_id"], set()).add(r["n_id"])
+    for r in ann:
+        an.setdefault(r["q_id"], set()).add(r["n_id"])
+    recalls = [len(ex[qid] & an.get(qid, set())) / len(ex[qid]) for qid in ex]
+    # probing half the clusters on diffuse vectors: same bar as LSH
+    assert np.mean(recalls) >= 0.5, f"IVF recall@5 {np.mean(recalls):.2f} degenerate"
