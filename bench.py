@@ -77,6 +77,7 @@ def main() -> None:
             "full_round_scheduled": full["n_scheduled"],
             "full_round_fetched": full["n_fetched"],
             "full_round_urls_per_sec": round(full["urls_per_sec"]),
+            "full_round_timing": full.get("timing", {}),
         },
     }))
     spark.stop()

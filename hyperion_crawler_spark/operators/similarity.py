@@ -224,6 +224,7 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, dim: int, k: int = 5,
     seeds = (corpus.select(F.col(vec_col).alias("v"),
                            F.xxhash64(F.col(id_col).cast("string")).alias("h"))
              .orderBy("h").limit(n_centroids).collect())
+    n_centroids = min(n_centroids, len(seeds))  # corpus smaller than k
     cents = _unit(np.array([r["v"] for r in seeds], dtype=np.float64))
 
     def _assign_expr(c: np.ndarray, vec: Column) -> Column:

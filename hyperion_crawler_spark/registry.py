@@ -142,6 +142,10 @@ def build_pipeline(spark: SparkSession, store_dir: str,
         if not scfg.get("enabled", False):
             continue
         cls_name = scfg.get("extractor", {}).get("class")
+        if cls_name not in _ADAPTER_CLASSES:
+            raise ValueError(
+                f"source {name!r}: unknown extractor class {cls_name!r}; "
+                f"registered: {sorted(_ADAPTER_CLASSES)}")
         cls = _ADAPTER_CLASSES[cls_name]
         src = cls(**scfg.get("extractor", {}).get("params", {}))
         src.name = name
