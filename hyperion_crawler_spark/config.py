@@ -41,6 +41,12 @@ class CrawlConfig:
     exact_seen_shadow: bool = True     # keep exact urlhash set alongside Bloom
                                        # (parity oracle is exact; Bloom is the
                                        # scale path — SURVEY §7 Phase 2)
+    rescore_every: int = 0             # every N rounds, re-score frontier
+                                       # priority with link-graph PageRank
+                                       # (0 = off; rescore is committed inside
+                                       # the round checkpoint, so resume stays
+                                       # bit-identical)
+    rescore_weight: float = 0.5        # blend: (1-w)·priority + w·pagerank
 
 
 def default_config() -> CrawlConfig:

@@ -45,6 +45,9 @@ def pagerank(links: DataFrame, iters: int = 2, damping: float = 0.85,
              .unionByName(links.select(F.col(dst).alias("url")))
              .distinct()).persist()
     n = nodes.count()
+    if n == 0:  # empty graph (e.g. a rescore before anything is fetched)
+        nodes.unpersist()
+        return links.sparkSession.createDataFrame([], "url string, rank double")
     deg = links.groupBy(src).agg(F.count("*").alias("deg"))
     edges = links.select(src, dst).join(deg, src)
 

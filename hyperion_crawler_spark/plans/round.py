@@ -260,6 +260,28 @@ def run_round(spark: SparkSession, cat, cfg: CrawlConfig, round_idx: int,
         delete_keys=archive_rows.select("urlhash", "shard"),
         base_version=base.get("frontier"))
     t = _mark("merge_frontier", t)
+    if cfg.rescore_every and round_idx % cfg.rescore_every == 0:
+        # PageRank priority re-scoring over the ENGINE-KNOWN link graph
+        # (edges whose src this crawl has fetched). Committed as part of
+        # THIS round's checkpoint: a crash before commit_round orphans
+        # the rescored snapshot and the redo reproduces it exactly.
+        from ..operators.graph import rescore_frontier_priority
+
+        fetched_srcs = (results.filter(F.col("status") == "fetched")
+                        .select(F.col("url").alias("src_url")))
+        prev = results_t.read(spark, version=base.get("results", 0))
+        if prev is not None:
+            fetched_srcs = fetched_srcs.unionByName(
+                prev.filter(F.col("status") == "fetched")
+                    .select(F.col("url").alias("src_url")))
+        known_links = links.join(fetched_srcs.distinct(), "src_url")
+        fr_now = frontier_t.read(spark, version=versions["frontier"])
+        if fr_now is not None:
+            rescored = rescore_frontier_priority(
+                fr_now, known_links, iters=2, weight=cfg.rescore_weight)
+            versions["frontier"] = frontier_t.overwrite(
+                rescored.select(*FRONTIER_COLS))
+        t = _mark("rescore_priority", t)
     versions["archive"] = cat.table("archive", "shard").append(
         archive_rows, base_version=base.get("archive", 0))
     t = _mark("write_archive", t)

@@ -44,10 +44,13 @@ def main() -> None:
     ap.add_argument("--corpus-buckets", type=int, default=0,
                     help="materialize the corpus as a bucketed SnapshotTable "
                          "with N buckets; each round prunes cold payload files")
+    ap.add_argument("--rescore-every", type=int, default=0,
+                    help="every N rounds, re-score frontier priority with "
+                         "link-graph PageRank (checkpointed inside the round)")
     args = ap.parse_args()
 
     spark = get_spark(app="hyperion-crawl", master=args.master)
-    cfg = CrawlConfig(n_shards=args.shards)
+    cfg = CrawlConfig(n_shards=args.shards, rescore_every=args.rescore_every)
 
     fixture_dir = args.fixture_dir
     if args.synth_urls:

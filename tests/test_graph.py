@@ -55,3 +55,66 @@ def test_rescore_frontier_priority_blend(spark):
     assert out["u9"] == 0.4                      # unknown URL untouched
     assert out["u2"] > out["u1"]                 # in-link-heavy page climbs
     assert out["u2"] > 0.4                       # max-rank node gets w*1.0 boost
+
+
+def _final_state_hash(spark, store):
+    from pyspark.sql import functions as FF
+
+    from hyperion_crawler_spark.sources.tables import Catalog
+
+    cat = Catalog(store)
+    parts = []
+    for tbl, pc in [("frontier", "shard"), ("archive", "shard"), ("results", "round")]:
+        df = cat.table(tbl, pc).read(spark)
+        if df is not None:
+            cols = [c for c in df.columns if c != "psnr_db"]
+            parts.append(sorted(tuple(r) for r in df.select(*cols).collect()))
+    return parts
+
+
+def test_rescore_crawl_is_deterministic_and_changes_schedule(
+        spark, fixture_dfs, crawl_cfg, tmp_path_factory):
+    from dataclasses import replace
+
+    from hyperion_crawler_spark.plans.loop import run_crawl
+    from hyperion_crawler_spark.sources.tables import Catalog
+
+    cfg_r = replace(crawl_cfg, rescore_every=2)
+    stores = [str(tmp_path_factory.mktemp(f"rs{i}")) for i in range(3)]
+    for s in stores[:2]:   # two independent rescored runs → identical
+        run_crawl(spark, s, cfg_r, corpus=fixture_dfs["corpus"],
+                  links=fixture_dfs["links"], robots=fixture_dfs["robots"],
+                  seeds=fixture_dfs["seeds"], n_rounds=4)
+    run_crawl(spark, stores[2], crawl_cfg, corpus=fixture_dfs["corpus"],
+              links=fixture_dfs["links"], robots=fixture_dfs["robots"],
+              seeds=fixture_dfs["seeds"], n_rounds=4)
+    h0 = _final_state_hash(spark, stores[0])
+    h1 = _final_state_hash(spark, stores[1])
+    assert h0 == h1, "rescored crawl is nondeterministic"
+    # rescoring must actually change priorities vs the plain run
+    pr_re = {r["urlhash"]: r["priority"] for r in
+             Catalog(stores[0]).table("frontier", "shard").read(spark).collect()}
+    pr_plain = {r["urlhash"]: r["priority"] for r in
+                Catalog(stores[2]).table("frontier", "shard").read(spark).collect()}
+    common = set(pr_re) & set(pr_plain)
+    assert common and any(abs(pr_re[h] - pr_plain[h]) > 1e-12 for h in common), \
+        "rescore_every had no effect on frontier priorities"
+
+
+def test_rescore_crawl_resumes_bit_identical(
+        spark, fixture_dfs, crawl_cfg, tmp_path_factory):
+    from dataclasses import replace
+
+    from hyperion_crawler_spark.plans.loop import run_crawl
+
+    cfg_r = replace(crawl_cfg, rescore_every=2)
+    s_full = str(tmp_path_factory.mktemp("rs_full"))
+    s_kill = str(tmp_path_factory.mktemp("rs_kill"))
+    kw = dict(corpus=fixture_dfs["corpus"], links=fixture_dfs["links"],
+              robots=fixture_dfs["robots"], seeds=fixture_dfs["seeds"])
+    run_crawl(spark, s_full, cfg_r, n_rounds=4, **kw)
+    # "kill" right after the round-2 checkpoint (which includes a
+    # rescore commit), then resume
+    run_crawl(spark, s_kill, cfg_r, n_rounds=4, stop_after_round=2, **kw)
+    run_crawl(spark, s_kill, cfg_r, n_rounds=4, **kw)
+    assert _final_state_hash(spark, s_full) == _final_state_hash(spark, s_kill)
