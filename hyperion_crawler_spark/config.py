@@ -88,6 +88,16 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(sp))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # keep runtime coalescing, but don't let it swallow parallelism:
+        # the default 1 MB minPartitionSize collapses this engine's
+        # narrow (well-compressed) shuffles to a handful of partitions —
+        # measured 172k → 869k URLs-scheduled/sec at local[32] on the
+        # 2M-URL scheduling round with a 16k floor. At cluster scale
+        # real partitions dwarf 16k, so genuinely tiny shuffles still
+        # coalesce; only the over-coalescing of small-but-parallel
+        # stages is prevented.
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "true")
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "16k")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
