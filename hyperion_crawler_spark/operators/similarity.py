@@ -213,8 +213,17 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, dim: int, k: int = 5,
     At 100 TB the assignment column is materialized once (or bucketed
     into the table layout) and only probed clusters are scanned — the
     Iceberg-partition-by-cluster analog of FAISS IVF.
+
+    Assignment physical form: for small centroid counts (≤ 32) the
+    argmax is a pure Catalyst fold expression (stays in codegen); past
+    that the literal centroid matrix would bloat generated code, so
+    assignment/probing switch to an Arrow ``mapInPandas`` kernel doing
+    one numpy GEMM per batch against the broadcast centroid matrix —
+    the FAISS-style shape that holds at thousands of centroids.
     """
     import numpy as np
+
+    CATALYST_MAX_CENTROIDS = 32
 
     def _unit(m: np.ndarray) -> np.ndarray:
         n = np.linalg.norm(m, axis=1, keepdims=True)
@@ -226,6 +235,7 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, dim: int, k: int = 5,
              .orderBy("h").limit(n_centroids).collect())
     n_centroids = min(n_centroids, len(seeds))  # corpus smaller than k
     cents = _unit(np.array([r["v"] for r in seeds], dtype=np.float64))
+    use_gemm = n_centroids > CATALYST_MAX_CENTROIDS
 
     def _assign_expr(c: np.ndarray, vec: Column) -> Column:
         scored = F.array(*[
@@ -236,9 +246,43 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, dim: int, k: int = 5,
         ])
         return F.array_max(scored)["c"]
 
+    def _assign_gemm(df: DataFrame, out_id: str, out_vec: str,
+                     c: np.ndarray, top_n: int) -> DataFrame:
+        """(id, vec) → (id, vec, cids array<int>): one BLAS GEMM per
+        Arrow batch against the broadcast unit-centroid matrix."""
+        import pandas as pd
+        from pyspark.sql import types as T
+
+        narrowed = df.select(F.col(id_col).alias(out_id), F.col(vec_col).alias(out_vec))
+        schema = T.StructType(list(narrowed.schema)
+                              + [T.StructField("cids", T.ArrayType(T.IntegerType()))])
+        bc = df.sparkSession.sparkContext.broadcast(c)
+
+        def kernel(batches):
+            cm = bc.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                m = np.array(list(pdf[out_vec]), dtype=np.float64)
+                scores = m @ cm.T                       # (rows, n_centroids)
+                nn = min(top_n, scores.shape[1])
+                top = np.argsort(-scores, axis=1)[:, :nn].astype(np.int32)
+                out = pdf[[out_id, out_vec]].copy()
+                out["cids"] = list(top)
+                yield out
+
+        return narrowed.mapInPandas(kernel, schema)
+
+    def _assigned(df: DataFrame, out_id: str, out_vec: str, c: np.ndarray) -> DataFrame:
+        if use_gemm:
+            return _assign_gemm(df, out_id, out_vec, c, 1).select(
+                out_id, out_vec, F.col("cids")[0].alias("cid"))
+        return df.select(F.col(id_col).alias(out_id), F.col(vec_col).alias(out_vec),
+                         _assign_expr(c, F.col(vec_col)).alias("cid"))
+
     for _ in range(train_iters):
-        assigned = corpus.select(_assign_expr(cents, F.col(vec_col)).alias("cid"),
-                                 F.posexplode(F.col(vec_col)).alias("pos", "val"))
+        assigned = _assigned(corpus, "_id", "_v", cents).select(
+            "cid", F.posexplode(F.col("_v")).alias("pos", "val"))
         rows = assigned.groupBy("cid", "pos").agg(F.avg("val").alias("m")).collect()
         new = cents.copy()
         by_c: dict[int, list] = {}
@@ -259,10 +303,13 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, dim: int, k: int = 5,
         top = F.slice(F.reverse(F.array_sort(scored)), 1, n_probe)
         return F.transform(top, lambda t: t["c"])
 
-    c_idx = corpus.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"),
-                          _assign_expr(cents, F.col(vec_col)).alias("cid"))
-    q_idx = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"),
-                           F.explode(_probe_expr(F.col(vec_col))).alias("cid"))
+    c_idx = _assigned(corpus, "n_id", "n_vec", cents)
+    if use_gemm:
+        q_idx = _assign_gemm(queries, "q_id", "q_vec", cents, n_probe).select(
+            "q_id", "q_vec", F.explode("cids").alias("cid"))
+    else:
+        q_idx = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"),
+                               F.explode(_probe_expr(F.col(vec_col))).alias("cid"))
     cand = (q_idx.join(c_idx, "cid")
             .filter(F.col("q_id") != F.col("n_id"))
             .select("q_id", "n_id",

@@ -203,3 +203,18 @@ def test_ivf_recall_at_k_vs_brute_force(spark):
     recalls = [len(ex[qid] & an.get(qid, set())) / len(ex[qid]) for qid in ex]
     # probing half the clusters on diffuse vectors: same bar as LSH
     assert np.mean(recalls) >= 0.5, f"IVF recall@5 {np.mean(recalls):.2f} degenerate"
+
+
+def test_ivf_gemm_assignment_path(spark):
+    """n_centroids above the Catalyst threshold switches assignment to
+    the mapInPandas GEMM kernel; planted near-copies must still route
+    to their source's cluster."""
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    corpus = e.filter(F.col("vec_id") < 300).select("vec_id", "embedding")
+    queries = corpus.filter(F.col("vec_id") < 30).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double") + 0.005).alias("embedding"))
+    got = SIM.ivf_topk(queries, corpus, dim=64, k=1, n_centroids=48, n_probe=4)
+    hits = got.filter(F.col("rank") == 1) \
+              .filter(F.col("n_id") == F.col("q_id") - 100000).count()
+    assert hits >= 24, f"IVF-GEMM top-1 planted recall {hits}/30"

@@ -121,3 +121,41 @@ def test_legacy_rules_without_allow_column(spark, crawl_cfg):
         "status string, retry_count int, next_fetch_ts long, discovered_round int")
     row = with_robots(frontier, rules, crawl_cfg).first()
     assert row["robots_allowed"] is False
+
+
+def test_catalyst_allow_matches_scalar_fuzz(spark, crawl_cfg):
+    """Property bridge: the Catalyst longest-match expression in
+    with_robots must agree with the scalar is_path_allowed on randomized
+    rule sets and paths (seeded, deterministic)."""
+    import random
+
+    from hyperion_crawler_spark.operators.politeness import with_robots
+
+    rng = random.Random(42)
+    segs = ["/a", "/b", "/private", "/private/open", "/private/open/x",
+            "/p", "/p/deep", "/x/y", "/", ""]
+    rows, want = [], {}
+    rules_rows = []
+    for h in range(25):
+        host = f"h{h}.ex"
+        dis = rng.sample(segs[:-2], rng.randint(0, 4))
+        allow = rng.sample(segs[:-2], rng.randint(0, 3))
+        rules_rows.append((host, dis, allow, 0.0, 10))
+        for i in range(8):
+            path = rng.choice(segs[:-1]) + rng.choice(["", "/leaf", "/d/e"])
+            url = f"http://{host}{path if path.startswith('/') else '/' + path}"
+            uh = h * 100 + i
+            rows.append((uh, url, host, "img", 0, 0.5, "queued", 0, 0, 0))
+            from hyperion_crawler_spark.functions.robots import is_path_allowed
+            p = url.split(host, 1)[1]
+            want[uh] = is_path_allowed(p, dis, allow)
+    rules = spark.createDataFrame(
+        rules_rows, "host string, disallow_prefixes array<string>, "
+                    "allow_prefixes array<string>, crawl_delay_s double, max_per_round int")
+    frontier = spark.createDataFrame(
+        rows, "urlhash long, url string, host string, image_id string, shard int, "
+              "priority double, status string, retry_count int, next_fetch_ts long, "
+              "discovered_round int")
+    got = {r["urlhash"]: r["robots_allowed"]
+           for r in with_robots(frontier, rules, crawl_cfg).collect()}
+    assert got == want
