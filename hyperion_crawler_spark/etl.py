@@ -169,12 +169,19 @@ class ETLPipeline:
     # {task_id, status, record_count, data}; "data" is a LAZY DataFrame
     # (the reference serializes rows through HTTP/JSON between phases —
     # its scalability ceiling; here phases hand plans).
+    @staticmethod
+    def _task_suffix(params: dict) -> str:
+        return str(params.get("round", params.get("trade_date", 0)))
+
     def extract_data(self, source_name: str, params: dict | None = None) -> dict:
         src = self.sources[source_name]
         params = params or {}
-        raw = src.extract(self.spark, params)
+        # persisted: the envelope's record_count would otherwise run the
+        # extraction once for the count and again when the downstream
+        # phase consumes `data`
+        raw = src.extract(self.spark, params).persist()
         return {
-            "task_id": f"{source_name}_extract_{params.get('round', 0)}",
+            "task_id": f"{source_name}_extract_{self._task_suffix(params)}",
             "source": source_name, "status": "success",
             "record_count": raw.count(), "data": raw,
         }
@@ -186,18 +193,22 @@ class ETLPipeline:
         dim = src.asset_master(self.spark)
         valid, quarantine = src.transform(raw, dim)
         return {
-            "task_id": f"{source_name}_transform_{params.get('round', 0)}",
+            "task_id": f"{source_name}_transform_{self._task_suffix(params)}",
             "source": source_name, "status": "success",
             "data": valid, "quarantine": quarantine,
         }
 
     def load_data(self, source_name: str, valid: DataFrame,
+                  quarantine: DataFrame | None = None,
                   mode: LoadMode | None = None,
                   params: dict | None = None) -> dict:
+        """Pass ``transform_data``'s quarantine frame through so the
+        phase API hits the SAME quality gate as run_full_pipeline —
+        without it failed counts are invisible and the gate can't trip."""
         params = params or {}
-        result = self._load(source_name, valid, None, mode, params)
+        result = self._load(source_name, valid, quarantine, mode, params)
         return {
-            "task_id": f"{source_name}_load_{params.get('round', 0)}",
+            "task_id": f"{source_name}_load_{self._task_suffix(params)}",
             "source": source_name,
             "status": "success" if result.quality_ok else "quality_failed",
             "result": result,
@@ -251,7 +262,7 @@ class ETLPipeline:
         threshold = self.quality_thresholds.get(source_name, self.quality_threshold)
         result.quality_ok = result.success_rate >= threshold
         status = "success" if result.quality_ok else "quality_failed"
-        task_id = f"{source_name}_load_{params.get('round', params.get('trade_date', 0))}"
+        task_id = f"{source_name}_load_{self._task_suffix(params)}"
         self.cat.table("etl_lineage", None).append(self.spark.createDataFrame(
             [(task_id, source_name, status, n_valid, n_quar,
               float(result.success_rate), float(threshold))],

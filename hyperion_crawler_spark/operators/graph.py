@@ -41,6 +41,11 @@ def pagerank(links: DataFrame, iters: int = 2, damping: float = 0.85,
     10^10 edges each iteration is two hash-partitioned shuffles of
     (url, double) pairs — no fanout beyond the edge list itself.
     """
+    # persisted and left pinned: the ranks plan references `nodes` twice
+    # per iteration (contribution join + left join back) plus the init —
+    # unpersisting before the caller evaluates would recompute the
+    # distinct-union each time. Spark's ContextCleaner reclaims the
+    # cache once the returned plan's lineage is released.
     nodes = (links.select(F.col(src).alias("url"))
              .unionByName(links.select(F.col(dst).alias("url")))
              .distinct()).persist()
@@ -62,9 +67,7 @@ def pagerank(links: DataFrame, iters: int = 2, damping: float = 0.85,
             _pround(F.lit((1.0 - damping) / n)
                     + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0)),
                     digits).alias("rank"))
-    out = ranks
-    nodes.unpersist()
-    return out
+    return ranks
 
 
 def rescore_frontier_priority(frontier: DataFrame, links: DataFrame,
@@ -73,7 +76,10 @@ def rescore_frontier_priority(frontier: DataFrame, links: DataFrame,
     ``priority' = (1-w)·priority + w·rank/max(rank)`` — the re-scoring
     pass a long-running crawl runs between rounds so heavily-linked
     pages climb the queue. Unknown URLs keep their priority."""
-    pr = pagerank(links, iters=iters)
+    # persist + materialize via the max() job: without the cache the
+    # full PageRank DAG would execute twice (once for mx, once when the
+    # caller materializes the blended frontier)
+    pr = pagerank(links, iters=iters).persist()
     mx = pr.agg(F.max("rank")).first()[0] or 1.0
     pr_n = pr.select("url", (F.col("rank") / F.lit(mx)).alias("_pr"))
     return (frontier.join(pr_n, "url", "left")

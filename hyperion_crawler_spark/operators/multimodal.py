@@ -116,9 +116,14 @@ def image_embedding(corpus: DataFrame, dim: int = 64) -> DataFrame:
         for pdf in batches:
             ids, vecs = [], []
             for r in pdf.itertuples(index=False):
-                # sum channels first (stays exact-integer) so the block
-                # mean over the /3 gray image is sum/(3·area) — the same
-                # real number, computed with one exact division
+                # sum channels first (stays exact-integer): the block
+                # mean becomes exact_block_sum/(3·area) — ONE correctly
+                # rounded division, where the old loop averaged
+                # per-pixel-rounded (r+g+b)/3 values (accumulating a
+                # rounding per pixel). Values agree only to ~1 ulp; the
+                # new form is the numerically exact one and is the
+                # committed contract (embeddings are not bit-stable
+                # across this change, only across runs of it)
                 px3 = decode(bytes(r.bytes)).astype(np.float64).sum(axis=2)
                 cells = _block_means(px3, side, side) / 3.0
                 v = cells.flatten()

@@ -233,6 +233,12 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, dim: int, k: int = 5,
     seeds = (corpus.select(F.col(vec_col).alias("v"),
                            F.xxhash64(F.col(id_col).cast("string")).alias("h"))
              .orderBy("h").limit(n_centroids).collect())
+    if not seeds:  # empty corpus → empty result, typed from the inputs
+        return (queries.select(F.col(id_col).alias("q_id"))
+                .crossJoin(corpus.select(F.col(id_col).alias("n_id")))
+                .withColumn("cos", F.lit(0.0))
+                .withColumn("rank", F.lit(0))
+                .limit(0))
     n_centroids = min(n_centroids, len(seeds))  # corpus smaller than k
     cents = _unit(np.array([r["v"] for r in seeds], dtype=np.float64))
     use_gemm = n_centroids > CATALYST_MAX_CENTROIDS

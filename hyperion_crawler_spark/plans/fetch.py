@@ -188,19 +188,48 @@ def corpus_bucket(image_id_col, n_buckets: int):
 def write_bucketed_corpus(table, corpus: DataFrame, n_buckets: int) -> int:
     """Materialize the corpus into a SnapshotTable partitioned by
     ``img_bucket`` so per-round reads prune cold payload files. The
-    table must be created with partition_col='img_bucket'."""
+    table must be created with partition_col='img_bucket'. The bucket
+    count is RECORDED IN THE SNAPSHOT META — readers derive it from the
+    table, so a resume can never prune with a different modulus than
+    the files were written with (which would silently mark scheduled
+    URLs as corpus misses)."""
     return table.overwrite(
-        corpus.withColumn("img_bucket", corpus_bucket(F.col("image_id"), n_buckets)))
+        corpus.withColumn("img_bucket", corpus_bucket(F.col("image_id"), n_buckets)),
+        meta={"corpus_buckets": int(n_buckets)})
 
 
-def read_corpus_for_schedule(spark, table, scheduled: DataFrame, n_buckets: int) -> DataFrame:
+def corpus_bucket_count(table) -> int:
+    """The bucket modulus the corpus table was written with (from its
+    current snapshot meta). Raises if the table wasn't written via
+    write_bucketed_corpus."""
+    ver = table.current_version()
+    if ver is None:
+        raise ValueError(f"corpus table {table.name!r} has no committed snapshot")
+    n = table._manifest(ver).get("meta", {}).get("corpus_buckets")
+    if not n:
+        raise ValueError(
+            f"corpus table {table.name!r} carries no corpus_buckets meta — "
+            f"write it with write_bucketed_corpus()")
+    return int(n)
+
+
+def read_corpus_for_schedule(spark, table, scheduled: DataFrame,
+                             n_buckets: int | None = None) -> DataFrame:
     """Read ONLY the corpus files whose bucket appears in the schedule.
 
+    The bucket modulus comes from the table's snapshot meta (see
+    write_bucketed_corpus); passing ``n_buckets`` explicitly asserts it
+    matches — a mismatch is a hard error, never silent mis-pruning.
     The bucket set is ≤ n_buckets small ints (one tiny aggregate over
     the already-persisted schedule); file skipping happens at the
     manifest level, so a round that touches 3 of 1024 buckets reads 3
     buckets' payload files and nothing else — the 'never rescan cold
     payload files' clause of the 100 TB design."""
+    stored = corpus_bucket_count(table)
+    if n_buckets is not None and int(n_buckets) != stored:
+        raise ValueError(
+            f"corpus table {table.name!r} was bucketed with {stored} buckets "
+            f"but the caller asked for {n_buckets} — refusing to mis-prune")
     buckets = [r[0] for r in scheduled.select(
-        corpus_bucket(F.col("image_id"), n_buckets).alias("b")).distinct().collect()]
+        corpus_bucket(F.col("image_id"), stored).alias("b")).distinct().collect()]
     return table.read_pruned(spark, buckets)

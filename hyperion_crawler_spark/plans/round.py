@@ -153,7 +153,8 @@ def run_round(spark: SparkSession, cat, cfg: CrawlConfig, round_idx: int,
     if corpus_table is not None:
         from .fetch import read_corpus_for_schedule
 
-        corpus = read_corpus_for_schedule(spark, corpus_table, scheduled, corpus_buckets)
+        corpus = read_corpus_for_schedule(spark, corpus_table, scheduled,
+                                          corpus_buckets or None)
     results = fetch_and_validate(scheduled, corpus).persist()
     fetched = results.filter(F.col("status") == "fetched")
 

@@ -167,17 +167,21 @@ class SnapshotTable:
         return spark.read.parquet(*[os.path.join(self.dir, f["path"]) for f in files])
 
     def read_pruned(self, spark: SparkSession, part_values: list[int],
-                    version: int | None = None) -> DataFrame:
+                    version: int | None = None) -> DataFrame | None:
         """Read only the files whose partition stats intersect
         ``part_values`` (manifest-level file skipping — the Iceberg
         partition-pruned scan analog). Files with unknown stats are
-        always read (safe)."""
-        if not part_values:
-            return spark.createDataFrame([], self.read(spark, version).schema)
-        _, hit = self._prune(part_values, self._live_files(version))
+        always read (safe). Returns None when the snapshot has no files
+        at all (consistent with ``read``); an empty ``part_values`` or
+        a no-hit prune returns a typed EMPTY frame (schema taken from
+        the requested version's files)."""
+        files = self._live_files(version)
+        if not files:
+            return None
+        _, hit = self._prune(part_values, files) if part_values else ([], [])
         if not hit:
-            return spark.createDataFrame([], self.read(spark).schema) if self._live_files(version) \
-                else None
+            schema = spark.read.parquet(os.path.join(self.dir, files[0]["path"])).schema
+            return spark.createDataFrame([], schema)
         return spark.read.parquet(*[os.path.join(self.dir, f["path"]) for f in hit])
 
     def append(self, df: DataFrame, meta: dict | None = None,

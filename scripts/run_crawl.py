@@ -74,18 +74,27 @@ def main() -> None:
         for name in ["corpus", "seeds", "links", "robots"]
     }
     corpus_table = None
+    corpus_buckets = 0
     if args.corpus_buckets:
-        from hyperion_crawler_spark.plans.fetch import write_bucketed_corpus
+        from hyperion_crawler_spark.plans.fetch import (
+            corpus_bucket_count,
+            write_bucketed_corpus,
+        )
         from hyperion_crawler_spark.sources.tables import Catalog
 
         corpus_table = Catalog(args.store).table("corpus", "img_bucket")
         if corpus_table.is_empty():
             write_bucketed_corpus(corpus_table, dfs["corpus"], args.corpus_buckets)
-        print(json.dumps({"event": "corpus_bucketed", "buckets": args.corpus_buckets}))
+        # a resumed store's table wins over the flag: pruning with a
+        # different modulus than the files were written with would
+        # silently turn scheduled URLs into corpus misses
+        corpus_buckets = corpus_bucket_count(corpus_table)
+        print(json.dumps({"event": "corpus_bucketed", "buckets": corpus_buckets,
+                          "requested": args.corpus_buckets}))
 
     metrics = run_crawl(spark, args.store, cfg, dfs["corpus"], dfs["links"],
                         dfs["robots"], dfs["seeds"], n_rounds=args.rounds,
-                        corpus_table=corpus_table, corpus_buckets=args.corpus_buckets)
+                        corpus_table=corpus_table, corpus_buckets=corpus_buckets)
     for m in metrics:
         print(json.dumps({"event": "round", **m}))
     if not metrics:

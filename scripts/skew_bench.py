@@ -112,8 +112,19 @@ idles — so the row-spread column is the number that matters at 100 TB.
 
 Reproduce: `python scripts/skew_bench.py --urls {args.urls} --hosts {args.hosts}`
 """
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "a") as f:
-        f.write(md)
+    # idempotent: replace any previous skew section instead of stacking
+    # duplicates on re-runs
+    path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    marker = "\n\n## Hot-host skew"
+    existing = ""
+    if os.path.exists(path):
+        with open(path) as f:
+            existing = f.read()
+        cut = existing.find(marker)
+        if cut != -1:
+            existing = existing[:cut]
+    with open(path, "w") as f:
+        f.write(existing + md)
 
 
 if __name__ == "__main__":

@@ -135,3 +135,29 @@ def test_bucketed_corpus_read_prunes_files(spark, fixture_dfs, tmp_path):
         m = re.search(r"_pv=(\d+)", f)
         assert m and int(m.group(1)) in touched, f"cold file read: {f}"
     assert pruned.join(sched, "image_id", "left_semi").count() == 5
+
+
+def test_bucketed_corpus_modulus_is_persisted_and_guarded(spark, fixture_dfs, tmp_path):
+    """The bucket modulus lives in the snapshot meta: a resume that
+    passes a different --corpus-buckets must hard-error (mispruning
+    would silently quarantine scheduled URLs), and omitting it derives
+    the stored value."""
+    import pytest
+
+    from hyperion_crawler_spark.plans import fetch as FT
+    from hyperion_crawler_spark.sources.tables import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path), "corpus", "img_bucket")
+    FT.write_bucketed_corpus(t, fixture_dfs["corpus"], 16)
+    assert FT.corpus_bucket_count(t) == 16
+    sched = fixture_dfs["corpus"].select("image_id").orderBy("image_id").limit(3)
+    assert FT.read_corpus_for_schedule(spark, t, sched).count() > 0      # derived
+    assert FT.read_corpus_for_schedule(spark, t, sched, 16).count() > 0  # matching
+    with pytest.raises(ValueError, match="bucketed with 16"):
+        FT.read_corpus_for_schedule(spark, t, sched, 8)
+    # un-bucketed table (no meta) is rejected up front
+    t2 = SnapshotTable(str(tmp_path), "plain", "img_bucket")
+    t2.overwrite(fixture_dfs["corpus"].withColumn(
+        "img_bucket", FT.corpus_bucket(F.col("image_id"), 4)))
+    with pytest.raises(ValueError, match="no corpus_buckets meta"):
+        FT.read_corpus_for_schedule(spark, t2, sched)

@@ -71,9 +71,27 @@ def test_phase_api_envelopes(spark, tmp_path):
     assert ext["task_id"] == "market_extract_7"
     tr = pipe.transform_data("market", ext["data"], {"round": 7})
     assert "data" in tr and "quarantine" in tr
-    ld = pipe.load_data("market", tr["data"], params={"round": 7})
+    ld = pipe.load_data("market", tr["data"], tr["quarantine"], params={"round": 7})
     assert ld["status"] == "success" and ld["result"].loaded > 0
+    assert ld["task_id"] == "market_load_7"
     assert pipe.cat.table("market_daily_prices", None).read(spark).count() == ld["result"].loaded
+    # lineage row and envelope agree on the task id
+    lin = pipe.cat.table("etl_lineage", None).read(spark)
+    assert lin.filter(F.col("task_id") == "market_load_7").count() == 1
+
+
+def test_phase_api_quality_gate_trips_like_full_pipeline(spark, tmp_path):
+    """The per-phase path must hit the SAME quality gate: a lousy source
+    driven phase-by-phase (with its quarantine frame passed through)
+    reports quality_failed, matching run_full_pipeline."""
+    pipe = ETLPipeline(spark, str(tmp_path))
+    pipe.register(_LousySource(n_tickers=100))
+    ext = pipe.extract_data("lousy", {"trade_date": "2024-01-05"})
+    tr = pipe.transform_data("lousy", ext["data"], {"trade_date": "2024-01-05"})
+    ld = pipe.load_data("lousy", tr["data"], tr["quarantine"],
+                        params={"trade_date": "2024-01-05"})
+    assert ld["status"] == "quality_failed" and not ld["result"].quality_ok
+    assert ld["result"].failed > 0
 
 
 class _LousySource(MarketDataSource):
