@@ -143,6 +143,13 @@ def run_round(spark: SparkSession, cat, cfg: CrawlConfig, round_idx: int,
     base = cat.base_versions()
     round_ts = int(round_idx * ROUND_SECONDS)
     frontier = frontier_t.read(spark, version=base.get("frontier"))
+    if frontier is None:
+        # fully-drained frontier (every URL terminal): the round is
+        # idle but must still run — retries may be waiting in later
+        # rounds after a redo, and the checkpoint must advance
+        from .. import schemas as S
+
+        frontier = spark.createDataFrame([], S.FRONTIER)
     eligible = frontier.filter(
         (F.col("status") == "queued") & (F.col("next_fetch_ts") <= round_ts)
     )

@@ -148,12 +148,25 @@ def gen_fixture(cfg: SynthConfig = SynthConfig()) -> dict[str, pd.DataFrame]:
 
 
 def write_fixture_parquet(fixture: dict[str, pd.DataFrame], outdir: str) -> None:
-    """Write fixture frames as parquet (pyarrow; no Spark needed)."""
+    """Write fixture frames as parquet (pyarrow; no Spark needed).
+
+    The robots frame's list columns get an explicit arrow schema: a
+    tiny fixture where every prefix list is empty would otherwise make
+    pyarrow infer ``list<int32>`` and Spark's string-typed read fail."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    robots_schema = pa.schema([
+        ("host", pa.string()),
+        ("disallow_prefixes", pa.list_(pa.string())),
+        ("allow_prefixes", pa.list_(pa.string())),
+        ("crawl_delay_s", pa.float64()),
+        ("max_per_round", pa.int32()),
+    ])
     for name, pdf in fixture.items():
-        pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), f"{outdir}/{name}.parquet")
+        schema = robots_schema if name == "robots" else None
+        pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False, schema=schema),
+                       f"{outdir}/{name}.parquet")
 
 
 def gen_corpus_distributed(spark, n_images: int, dims=(16, 32), fmts=("hypng", "hyjpg")):

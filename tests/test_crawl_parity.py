@@ -211,3 +211,38 @@ def test_bucketed_corpus_crawl_equals_dataframe_corpus(
     r2 = sorted(tuple(r) for r in Catalog(s2).table("results", "round").read(spark)
                 .select(*cols).collect())
     assert r1 == r2 and r1
+
+
+def test_drained_frontier_idle_rounds(spark, crawl_cfg, tmp_path_factory):
+    """A crawl whose frontier fully drains must keep running idle
+    rounds (scheduled=0), keep committing checkpoints, and still match
+    the oracle — an empty frontier table reads as None in the snapshot
+    store and used to crash the next round."""
+    from hyperion_crawler_spark.synth import SynthConfig, gen_fixture
+
+    from .oracle import run_oracle
+
+    # tiny fixture with no links: the seed set exhausts in a few rounds
+    fx = gen_fixture(SynthConfig(n_urls=30, n_seeds=30, n_hosts=3,
+                                 max_fanout=0, private_frac=0.0))
+    store = str(tmp_path_factory.mktemp("drain"))
+    d = tmp_path_factory.mktemp("drain_fix")
+    from hyperion_crawler_spark.synth import write_fixture_parquet
+    write_fixture_parquet(fx, str(d))
+    from hyperion_crawler_spark import schemas as S
+    dfs = {n: spark.read.schema(getattr(S, n.upper())).parquet(f"{d}/{n}.parquet")
+           for n in ["corpus", "seeds", "links", "robots"]}
+    n_rounds = 10
+    metrics = run_crawl(spark, store, crawl_cfg, corpus=dfs["corpus"],
+                        links=dfs["links"], robots=dfs["robots"],
+                        seeds=dfs["seeds"], n_rounds=n_rounds)
+    fetch_rounds = [m for m in metrics if "scheduled" in m]
+    assert len(fetch_rounds) == n_rounds, "idle rounds must not abort the loop"
+    assert fetch_rounds[-1]["scheduled"] == 0, "frontier should have drained"
+    cat = Catalog(store)
+    assert cat.last_round() == n_rounds
+    oracle = run_oracle(fx, crawl_cfg, n_rounds)
+    res = cat.table("results", "round").read(spark)
+    got = {(r["round"], r["urlhash"]): r["status"] for r in res.collect()}
+    want = {(r["round"], r["urlhash"]): r["status"] for r in oracle.results}
+    assert got == want
