@@ -446,6 +446,16 @@ def q36_pagerank(spark, sf):
     return pagerank(edges, iters=2).withColumnRenamed("rank", "pr")
 
 
+def q37_winnowing(spark, sf):
+    """Winnowing rolling-hash fingerprints (Schleimer et al.) over the
+    documents table — k=8 char-grams, window w=4, exploded to
+    (doc_id, fp) rows for value-level oracle comparison."""
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    return d.select(
+        "doc_id",
+        F.explode(DD.winnowing_fingerprints(F.col("text"), 8, 4)).alias("fp"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_first_wins_dedup": q01_first_wins_dedup,
@@ -484,6 +494,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q34_filing_metadata": q34_filing_metadata,
         "q35_ivf_topk": q35_ivf_topk,
         "q36_pagerank": q36_pagerank,
+        "q37_winnowing": q37_winnowing,
     }
 
 
@@ -949,5 +960,20 @@ def oracle_sql() -> dict[str, str]:
                             + 0.85 * coalesce(c2.s, 0)) * 1e9 + 0.5) / 1e9 AS rank
               FROM nodes n LEFT JOIN c2 ON n.url = c2.url)
             SELECT url, rank AS pr FROM r2
+        """,
+        "q37_winnowing": f"""
+            WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+            g AS (
+              SELECT doc_id,
+                     [{_H60.format(x="substr(text, i, 8)")}
+                      for i in generate_series(1, greatest(len(text) - 7, 0))] AS hashes
+              FROM d),
+            m AS (
+              SELECT doc_id,
+                     list_sort(list_distinct(
+                       [list_min(hashes[i:i+3])
+                        for i in generate_series(1, greatest(len(hashes) - 3, 0))])) AS fps
+              FROM g)
+            SELECT doc_id, unnest(fps) AS fp FROM m
         """,
     }

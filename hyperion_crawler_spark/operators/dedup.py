@@ -176,6 +176,36 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     )
 
 
+# ------------------------------------------------------------ winnowing
+def winnowing_fingerprints(text: Column, k: int = 8, w: int = 4) -> Column:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS rolling-hash scheme): hash every character
+    k-gram, slide a window of ``w`` consecutive hashes, keep each
+    window's minimum; the distinct minima (sorted for a stable value)
+    are the fingerprint set. Guarantees any shared substring of length
+    ≥ k+w-1 contributes at least one common fingerprint — the classic
+    local-dedup/plagiarism sketch, here as a pure Catalyst expression
+    (portable-hash60 so the DuckDB oracle reproduces values exactly).
+
+    Scale shape: one projection pass per document; candidate pairs come
+    from an equi-join on exploded fingerprints (same bucketed shape as
+    the shingle join in ngram_jaccard_pairs)."""
+    n_grams = F.length(text) - (k - 1)
+    grams = F.when(
+        n_grams >= 1,
+        F.transform(F.sequence(F.lit(1), n_grams),
+                    lambda i: text.substr(i, F.lit(k))),
+    ).otherwise(F.array().cast("array<string>"))
+    hashes = F.transform(grams, lambda g: portable_hash60(g))
+    n_win = F.size(hashes) - (w - 1)
+    minima = F.when(
+        n_win >= 1,
+        F.transform(F.sequence(F.lit(1), n_win),
+                    lambda i: F.array_min(F.slice(hashes, i, w))),
+    ).otherwise(F.array().cast("array<long>"))
+    return F.array_sort(F.array_distinct(minima))
+
+
 # -------------------------------------------------------------- SimHash
 def simhash_df(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """64-bit SimHash per document, portable-SQL arithmetic.

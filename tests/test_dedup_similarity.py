@@ -218,3 +218,26 @@ def test_ivf_gemm_assignment_path(spark):
     hits = got.filter(F.col("rank") == 1) \
               .filter(F.col("n_id") == F.col("q_id") - 100000).count()
     assert hits >= 24, f"IVF-GEMM top-1 planted recall {hits}/30"
+
+
+def test_winnowing_guarantee_and_short_text(spark):
+    """Winnowing's core guarantee: any shared substring of length
+    >= k+w-1 contributes at least one COMMON fingerprint; sub-k texts
+    fingerprint to empty."""
+    shared = "the quick brown fox jumps over ze lazy dog"   # 43 chars >> k+w-1
+    df = spark.createDataFrame(
+        [(1, "AAAA " + shared + " BBBB"),
+         (2, "xyzzy123 " + shared + " 987abc"),
+         (3, "completely different content with no overlap at all here"),
+         (4, "tiny")],
+        "doc_id int, text string")
+    rows = df.select("doc_id", DD.winnowing_fingerprints(
+        F.col("text"), 8, 4).alias("fps")).collect()
+    fps = {r["doc_id"]: set(r["fps"]) for r in rows}
+    assert fps[1] & fps[2], "shared substring must share a fingerprint"
+    assert not fps[4], "sub-k text must fingerprint to empty"
+    assert fps[1] == set(sorted(fps[1])), "fingerprints are distinct-sorted"
+    # determinism
+    again = {r["doc_id"]: set(r["fps"]) for r in df.select(
+        "doc_id", DD.winnowing_fingerprints(F.col("text"), 8, 4).alias("fps")).collect()}
+    assert fps == again
