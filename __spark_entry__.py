@@ -388,9 +388,12 @@ def q33_filing_range(spark, sf):
     o = _t(spark, sf, "orders")
     both = F.col("o_orderkey") % 3 == 0
     single_p = F.col("o_orderkey") % 3 == 1
-    start = F.when(both, F.date_format("o_orderdate", "yyyyMMdd"))
-    end = F.when(both, F.date_format(F.date_add("o_orderdate", 30), "yyyyMMdd"))
-    single = F.when(single_p, F.date_format("o_orderdate", "yyyyMMdd"))
+    # the no-param rows carry EMPTY STRINGS, not nulls: the reference's
+    # `params.get(...) and ...` is a falsy check, so '' must fall
+    # through to the today-branch exactly like None (ADVICE r2 fix)
+    start = F.when(both, F.date_format("o_orderdate", "yyyyMMdd")).otherwise(F.lit(""))
+    end = F.when(both, F.date_format(F.date_add("o_orderdate", 30), "yyyyMMdd")).otherwise(F.lit(""))
+    single = F.when(single_p, F.date_format("o_orderdate", "yyyyMMdd")).otherwise(F.lit(""))
     today = F.lit("2024-06-30").cast("date")
     rng = SC.filing_date_range(start, end, single, today)
     return o.select("o_orderkey", rng.alias("r")).select(
@@ -433,6 +436,20 @@ def q35_ivf_topk(spark, sf):
     return SIM.ivf_topk(queries_df, corpus, dim=64, k=5, n_centroids=8, n_probe=4)
 
 
+def q35b_ivf_exact(spark, sf):
+    """IVF with n_probe == n_centroids: every query probes every
+    cluster, so the probe equi-join covers the whole corpus and the
+    result degenerates to EXACT cosine top-k — the value-level oracle
+    for the IVF machinery (trained centroids, bucket assignment, probe
+    join, ranking) that q35's recall-mode run can't have. The oracle is
+    the same SQL-mirrorable brute force as q20 over the identical
+    corpus/query slices."""
+    e = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+    corpus = e.filter(F.col("vec_id") < 2000)
+    queries_df = corpus.filter(F.col("vec_id") % 100 == 0)
+    return SIM.ivf_topk(queries_df, corpus, dim=64, k=5, n_centroids=8, n_probe=8)
+
+
 def q36_pagerank(spark, sf):
     """Link-graph PageRank (frontier priority re-scoring) — 2 iterations
     over an edge list derived from lineitem (supplier → part buckets),
@@ -443,7 +460,12 @@ def q36_pagerank(spark, sf):
     edges = li.select(
         F.concat(F.lit("u"), F.col("l_suppkey").cast("string")).alias("src_url"),
         F.concat(F.lit("u"), (F.col("l_partkey") % 500).cast("string")).alias("dst_url"))
-    return pagerank(edges, iters=2).withColumnRenamed("rank", "pr")
+    # final output snapped to 6 digits (vs the 9-digit iteration grain):
+    # a float-sum-order difference can flip one engine's 9-digit floor
+    # by ±1e-9 near a .5 boundary; the coarser final grain absorbs that
+    # instead of hash-mismatching (ADVICE r2)
+    pr6 = F.floor(F.col("rank") * 1e6 + F.lit(0.5)) / 1e6
+    return pagerank(edges, iters=2).select("url", pr6.alias("pr"))
 
 
 def q37_winnowing(spark, sf):
@@ -454,6 +476,14 @@ def q37_winnowing(spark, sf):
     return d.select(
         "doc_id",
         F.explode(DD.winnowing_fingerprints(F.col("text"), 8, 4)).alias("fp"))
+
+
+def q38_winnowing_pairs(spark, sf):
+    """Winnowing candidate-pair join: documents sharing ≥ 2 fingerprints
+    (exploded fingerprint self-equi-join — shuffle ∝ collisions)."""
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    return DD.winnowing_pairs(d, "doc_id", "text", k=8, w=4, min_shared=2) \
+        .withColumn("n_shared", F.col("n_shared").cast("long"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -493,8 +523,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q33_filing_range": q33_filing_range,
         "q34_filing_metadata": q34_filing_metadata,
         "q35_ivf_topk": q35_ivf_topk,
+        "q35b_ivf_exact": q35b_ivf_exact,
         "q36_pagerank": q36_pagerank,
         "q37_winnowing": q37_winnowing,
+        "q38_winnowing_pairs": q38_winnowing_pairs,
     }
 
 
@@ -959,7 +991,21 @@ def oracle_sql() -> dict[str, str]:
                      floor(((1.0 - 0.85) / (SELECT n FROM nn)
                             + 0.85 * coalesce(c2.s, 0)) * 1e9 + 0.5) / 1e9 AS rank
               FROM nodes n LEFT JOIN c2 ON n.url = c2.url)
-            SELECT url, rank AS pr FROM r2
+            SELECT url, floor(rank * 1e6 + 0.5) / 1e6 AS pr FROM r2
+        """,
+        "q35b_ivf_exact": f"""
+            WITH c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 2000),
+            scored AS (
+              SELECT q.vec_id AS q_id, t.vec_id AS n_id,
+                     {_SQL_COS.format(a='q.embedding', b='t.embedding')} AS cos
+              FROM (SELECT * FROM c WHERE vec_id % 100 = 0) q
+              CROSS JOIN c t
+              WHERE q.vec_id != t.vec_id),
+            ranked AS (
+              SELECT q_id, n_id, cos, CAST(row_number() OVER (
+                PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS INTEGER) AS rank
+              FROM scored)
+            SELECT q_id, n_id, cos, rank FROM ranked WHERE rank <= 5
         """,
         "q37_winnowing": f"""
             WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
@@ -975,5 +1021,26 @@ def oracle_sql() -> dict[str, str]:
                         for i in generate_series(1, greatest(len(hashes) - 3, 0))])) AS fps
               FROM g)
             SELECT doc_id, unnest(fps) AS fp FROM m
+        """,
+        "q38_winnowing_pairs": f"""
+            WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+            g AS (
+              SELECT doc_id,
+                     [{_H60.format(x="substr(text, i, 8)")}
+                      for i in generate_series(1, greatest(len(text) - 7, 0))] AS hashes
+              FROM d),
+            m AS (
+              SELECT doc_id,
+                     list_distinct(
+                       [list_min(hashes[i:i+3])
+                        for i in generate_series(1, greatest(len(hashes) - 3, 0))]) AS fps
+              FROM g),
+            fp AS (SELECT doc_id, unnest(fps) AS fp FROM m),
+            pairs AS (
+              SELECT a.doc_id AS id1, b.doc_id AS id2,
+                     CAST(count(*) AS BIGINT) AS n_shared
+              FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT id1, id2, n_shared FROM pairs WHERE n_shared >= 2
         """,
     }

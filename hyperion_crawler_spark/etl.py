@@ -46,11 +46,15 @@ class LoadResult:
     (api/src/etl/base/loader.py:24-59). ``quality_ok`` is the
     data-quality alert verdict (success_rate vs the configured
     threshold — etl_config.yaml:38-43), consumed by run_full_pipeline's
-    gate."""
+    gate. ``latency_ok``/``execution_time`` are the latency alert
+    (reference etl_config.yaml:42-43, ``type: latency, threshold:
+    600``): pipeline wall time vs the configured budget."""
     loaded: int = 0
     skipped: int = 0
     failed: int = 0
     quality_ok: bool = True
+    latency_ok: bool = True
+    execution_time: float = 0.0
 
     @property
     def success_rate(self) -> float:
@@ -87,6 +91,12 @@ class MarketDataSource:
     target_table = "market_daily_prices"
     conflict_keys = ["uuid", "trade_date"]
     partition_col = None
+    # latest-slice maintenance (reference update_latest_prices,
+    # krx/loader.py:76-77,224-235): keep, per uuid, the max-trade_date
+    # row in a side table on every load when the config flag is set
+    update_latest = False
+    latest_keys = ["uuid"]
+    latest_order_col = "trade_date"
 
     def __init__(self, n_tickers: int = 100, dim_fraction_known: int = 3):
         self.n_tickers = n_tickers
@@ -157,6 +167,11 @@ class ETLPipeline:
         self.default_modes: dict[str, LoadMode] = {}
         self.quality_threshold: float = self.DEFAULT_QUALITY_THRESHOLD
         self.quality_thresholds: dict[str, float] = {}  # per-source override
+        self.latency_thresholds: dict[str, float] = {}  # seconds per run (yaml:42-43)
+        # frames extract_data persisted for its record_count, released
+        # by _load at the end of the phase chain — a long-lived session
+        # driving many per-phase tasks must not accumulate caches
+        self._pinned: dict[str, list[DataFrame]] = {}
 
     def register(self, source, default_mode: LoadMode | None = None) -> None:
         self.sources[source.name] = source
@@ -178,8 +193,10 @@ class ETLPipeline:
         params = params or {}
         # persisted: the envelope's record_count would otherwise run the
         # extraction once for the count and again when the downstream
-        # phase consumes `data`
+        # phase consumes `data`; released by _load once the chain's sink
+        # commit materialized everything downstream of it
         raw = src.extract(self.spark, params).persist()
+        self._pinned.setdefault(source_name, []).append(raw)
         return {
             "task_id": f"{source_name}_extract_{self._task_suffix(params)}",
             "source": source_name, "status": "success",
@@ -226,11 +243,22 @@ class ETLPipeline:
     def _load(self, source_name: str, valid: DataFrame,
               quarantine: DataFrame | None, mode: LoadMode | None,
               params: dict) -> LoadResult:
+        import time
+
+        t0 = time.perf_counter()
         src = self.sources[source_name]
         mode = mode or self.default_modes.get(source_name, LoadMode.UPSERT)
         # first-wins dedup on the conflict key (A4 — loader.py:188-209)
-        valid = first_wins_dedup(valid, src.conflict_keys,
-                                 [F.col(c) for c in valid.columns if c not in src.conflict_keys])
+        deduped = first_wins_dedup(valid, src.conflict_keys,
+                                   [F.col(c) for c in valid.columns if c not in src.conflict_keys])
+        # F13 add_metadata: stamp lineage columns on every loaded row
+        # (reference base/loader.py:211-220 stamps created_at/updated_at/
+        # source; wall clock is banned, so the round/date param is the
+        # deterministic analog)
+        from .functions.scalars import add_metadata
+
+        deduped = add_metadata(deduped, source_name,
+                               F.lit(self._task_suffix(params)))
 
         table = self.cat.table(src.target_table, src.partition_col)
         # LoadResult tallies ride the load action itself via observe()
@@ -240,16 +268,18 @@ class ETLPipeline:
         from pyspark.sql import Observation
 
         obs = Observation()
-        valid = valid.observe(obs, F.count(F.lit(1)).alias("loaded"))
+        observed = deduped.observe(obs, F.count(F.lit(1)).alias("loaded"))
         if mode == LoadMode.APPEND:
-            table.append(valid)
+            table.append(observed)
         elif mode == LoadMode.UPSERT:
-            table.merge(self.spark, valid, src.conflict_keys)  # merge persists internally
+            table.merge(self.spark, observed, src.conflict_keys)  # merge persists internally
         elif mode == LoadMode.REPLACE:
             assert src.partition_col, "REPLACE needs a partition column"
-            parts = [r[0] for r in valid.select(src.partition_col).distinct().collect()]
-            table.overwrite_partitions(self.spark, valid, parts)
+            parts = [r[0] for r in observed.select(src.partition_col).distinct().collect()]
+            table.overwrite_partitions(self.spark, observed, parts)
         n_valid = obs.get["loaded"]
+        if getattr(src, "update_latest", False):
+            self._update_latest(src, deduped)
         n_quar = quarantine.count() if quarantine is not None else 0
         # quarantine table mirrors drop-with-warning (transformer.py:86-89)
         if n_quar:
@@ -261,11 +291,45 @@ class ETLPipeline:
         # lineage table and surfaced on the result
         threshold = self.quality_thresholds.get(source_name, self.quality_threshold)
         result.quality_ok = result.success_rate >= threshold
-        status = "success" if result.quality_ok else "quality_failed"
+        # latency alert (etl_config.yaml:42-43): pipeline wall time vs
+        # the configured budget — measured to the end of the sink
+        # commits, i.e. the span where all lazy E→T→L work executes
+        result.execution_time = round(time.perf_counter() - t0, 3)
+        lat_threshold = self.latency_thresholds.get(source_name)
+        result.latency_ok = (lat_threshold is None
+                             or result.execution_time <= lat_threshold)
+        status = ("quality_failed" if not result.quality_ok
+                  else "latency_exceeded" if not result.latency_ok
+                  else "success")
         task_id = f"{source_name}_load_{self._task_suffix(params)}"
         self.cat.table("etl_lineage", None).append(self.spark.createDataFrame(
             [(task_id, source_name, status, n_valid, n_quar,
-              float(result.success_rate), float(threshold))],
+              float(result.success_rate), float(threshold),
+              float(result.execution_time),
+              float(lat_threshold) if lat_threshold is not None else None)],
             "task_id string, source string, status string, loaded long, "
-            "failed long, success_rate double, threshold double"))
+            "failed long, success_rate double, threshold double, "
+            "execution_time double, latency_threshold double"))
+        for df in self._pinned.pop(source_name, []):
+            df.unpersist()  # end of the phase chain — release extract caches
         return result
+
+    def _update_latest(self, src, batch: DataFrame) -> None:
+        """Maintain ``<target_table>_latest``: one row per latest-key
+        holding the max-order (e.g. newest trade_date) row seen across
+        ALL loads — the reference's _update_latest_prices side table
+        (krx/loader.py:224-235). Out-of-order loads can't regress the
+        slice: the incoming batch competes against the existing row for
+        each touched key and the newest wins. Writes O(batch)."""
+        from .operators.relational import latest_per_key
+
+        lk = list(src.latest_keys)
+        oc = F.col(src.latest_order_col)
+        latest_t = self.cat.table(f"{src.target_table}_latest", None)
+        cand = latest_per_key(batch, lk, oc, [])
+        existing = latest_t.read(self.spark)
+        if existing is not None:
+            touched = existing.join(cand.select(*lk).distinct(), lk, "left_semi")
+            cand = latest_per_key(
+                cand.unionByName(touched.select(*cand.columns)), lk, oc, [])
+        latest_t.merge(self.spark, cand, lk)

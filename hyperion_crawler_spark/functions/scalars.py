@@ -127,15 +127,23 @@ def filing_date_range(start: Column, end: Column, single: Column, today: Column)
     banned here for reproducibility, same policy as F12 task_id).
     Parse failures yield null bounds (try_-semantics) instead of the
     reference's raised ValueError — the engine's quarantine-not-crash
-    contract. Ref: get_filing_date_range, api/src/etl/base/extractor.py:102-117."""
+    contract. Branch selection is FALSY like the reference's
+    ``params.get("start_date") and params.get("end_date")``: an
+    empty-string param counts as absent and falls through to the next
+    branch, it does not select a null-bound (start, end) struct.
+    Ref: get_filing_date_range, api/src/etl/base/extractor.py:102-117."""
     s = F.try_to_timestamp(start, F.lit("yyyyMMdd")).cast("date")
     e = F.try_to_timestamp(end, F.lit("yyyyMMdd")).cast("date")
     d = F.try_to_timestamp(single, F.lit("yyyyMMdd")).cast("date")
     t = today.cast("date")
+
+    def _truthy(c: Column) -> Column:
+        return c.isNotNull() & (c != "")
+
     return (
-        F.when(start.isNotNull() & end.isNotNull(),
+        F.when(_truthy(start) & _truthy(end),
                F.struct(s.alias("range_start"), e.alias("range_end")))
-        .when(single.isNotNull(), F.struct(d.alias("range_start"), d.alias("range_end")))
+        .when(_truthy(single), F.struct(d.alias("range_start"), d.alias("range_end")))
         .otherwise(F.struct(t.alias("range_start"), t.alias("range_end")))
     )
 

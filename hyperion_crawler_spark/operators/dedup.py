@@ -78,12 +78,18 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Exact content dedup: group by sha256(text), keep lowest id
     (first-wins under deterministic order). Hash-groupBy → one shuffle
     on the digest; at scale the digest groupBy is the canonical
-    map-side-combinable exact dedup."""
+    map-side-combinable exact dedup. ``min_by`` aggregate, not a
+    row_number window: digests are mostly unique, so a window would
+    sort the whole corpus for nothing (same shape as the frontier's
+    canonical_url_rows dedup — measured 6× faster there)."""
     h = F.sha2(F.col(text_col), 256).alias("content_sha")
-    w = Window.partitionBy("content_sha").orderBy(F.col(id_col).asc())
-    return (df.select(F.col(id_col), F.col(text_col), h)
-              .withColumn("_rn", F.row_number().over(w))
-              .filter(F.col("_rn") == 1).drop("_rn"))
+    picked = (df.select(F.col(id_col), F.col(text_col), h)
+              .groupBy("content_sha")
+              .agg(F.min_by(F.struct(F.col(id_col), F.col(text_col)),
+                            F.col(id_col)).alias("_r")))
+    return picked.select(F.col(f"_r.{id_col}").alias(id_col),
+                         F.col(f"_r.{text_col}").alias(text_col),
+                         "content_sha")
 
 
 # ------------------------------------------------------- n-gram Jaccard
@@ -204,6 +210,31 @@ def winnowing_fingerprints(text: Column, k: int = 8, w: int = 4) -> Column:
                     lambda i: F.array_min(F.slice(hashes, i, w))),
     ).otherwise(F.array().cast("array<long>"))
     return F.array_sort(F.array_distinct(minima))
+
+
+def winnowing_pairs(df: DataFrame, id_col: str, text_col: str,
+                    k: int = 8, w: int = 4, min_shared: int = 2) -> DataFrame:
+    """Candidate near-dup pairs from shared winnowing fingerprints:
+    explode each document's fingerprint set → self-equi-join on the
+    fingerprint value (the only shuffle — identical bucketed shape to
+    the shingle join in ngram_jaccard_pairs, shuffle ∝ collisions,
+    never all-pairs) → count shared fingerprints per pair → keep pairs
+    sharing ≥ ``min_shared``. The winnowing guarantee means any pair
+    sharing a substring of length ≥ k+w-1 appears with at least one
+    shared fingerprint; ``min_shared`` > 1 filters incidental single
+    collisions. Returns (id1, id2, n_shared) with id1 < id2."""
+    fp = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(winnowing_fingerprints(F.col(text_col), k, w)).alias("fp"),
+    )
+    a, b = fp.alias("a"), fp.alias("b")
+    return (
+        a.join(b, (F.col("a.fp") == F.col("b.fp"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
 
 
 # -------------------------------------------------------------- SimHash

@@ -28,7 +28,7 @@ def _pround(col, digits: int):
 
 def pagerank(links: DataFrame, iters: int = 2, damping: float = 0.85,
              src: str = "src_url", dst: str = "dst_url",
-             digits: int = 9) -> DataFrame:
+             digits: int = 9, handles: list | None = None) -> DataFrame:
     """Simplified batch PageRank over an edge list (dangling mass
     dropped — the common simplified form). Returns ``(url, rank)``.
 
@@ -40,18 +40,27 @@ def pagerank(links: DataFrame, iters: int = 2, damping: float = 0.85,
     the node set. N is a driver scalar (one count job at entry). At
     10^10 edges each iteration is two hash-partitioned shuffles of
     (url, double) pairs — no fanout beyond the edge list itself.
+
+    ``handles``: pass a list to receive the internally persisted
+    frames; unpersist them once the returned plan is materialized. A
+    long-running driver loop that calls this every few rounds must do
+    so — ContextCleaner's lazy reclamation is not enough to keep a
+    multi-day crawl's executor storage flat.
     """
-    # persisted and left pinned: the ranks plan references `nodes` twice
-    # per iteration (contribution join + left join back) plus the init —
-    # unpersisting before the caller evaluates would recompute the
-    # distinct-union each time. Spark's ContextCleaner reclaims the
-    # cache once the returned plan's lineage is released.
+    # persisted: the ranks plan references `nodes` twice per iteration
+    # (contribution join + left join back) plus the init — unpersisting
+    # before the caller evaluates would recompute the distinct-union
+    # each time.
     nodes = (links.select(F.col(src).alias("url"))
              .unionByName(links.select(F.col(dst).alias("url")))
              .distinct()).persist()
+    if handles is not None:
+        handles.append(nodes)
     n = nodes.count()
     if n == 0:  # empty graph (e.g. a rescore before anything is fetched)
         nodes.unpersist()
+        if handles is not None:
+            handles.remove(nodes)
         return links.sparkSession.createDataFrame([], "url string, rank double")
     deg = links.groupBy(src).agg(F.count("*").alias("deg"))
     edges = links.select(src, dst).join(deg, src)
@@ -71,15 +80,22 @@ def pagerank(links: DataFrame, iters: int = 2, damping: float = 0.85,
 
 
 def rescore_frontier_priority(frontier: DataFrame, links: DataFrame,
-                              iters: int = 2, weight: float = 0.5) -> DataFrame:
+                              iters: int = 2, weight: float = 0.5,
+                              handles: list | None = None) -> DataFrame:
     """Blend the frontier's existing priority with link-graph PageRank:
     ``priority' = (1-w)·priority + w·rank/max(rank)`` — the re-scoring
     pass a long-running crawl runs between rounds so heavily-linked
-    pages climb the queue. Unknown URLs keep their priority."""
+    pages climb the queue. Unknown URLs keep their priority.
+
+    ``handles``: as in ``pagerank`` — the caller unpersists the
+    collected frames after materializing the blended frontier (the
+    round does this right after its frontier overwrite commits)."""
     # persist + materialize via the max() job: without the cache the
     # full PageRank DAG would execute twice (once for mx, once when the
     # caller materializes the blended frontier)
-    pr = pagerank(links, iters=iters).persist()
+    pr = pagerank(links, iters=iters, handles=handles).persist()
+    if handles is not None:
+        handles.append(pr)
     mx = pr.agg(F.max("rank")).first()[0] or 1.0
     pr_n = pr.select("url", (F.col("rank") / F.lit(mx)).alias("_pr"))
     return (frontier.join(pr_n, "url", "left")

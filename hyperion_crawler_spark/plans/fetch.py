@@ -142,7 +142,11 @@ def _miss_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                    "phash", "caption"]]
 
 
-def fetch_and_validate(scheduled: DataFrame, corpus: DataFrame) -> DataFrame:
+BROADCAST_ROW_CAP = 20_000_000  # ~2 GB at ~100 B/row, under Spark's 8 GB/512M-row hard limit
+
+
+def fetch_and_validate(scheduled: DataFrame, corpus: DataFrame,
+                       broadcast_row_cap: int = BROADCAST_ROW_CAP) -> DataFrame:
     """corpus(image_id) ⨝ broadcast(scheduled) → validated results,
     plus a left-anti pass for scheduled ids absent from the corpus.
 
@@ -163,9 +167,20 @@ def fetch_and_validate(scheduled: DataFrame, corpus: DataFrame) -> DataFrame:
 
     Plan gate: tests/test_plans.py::test_fetch_plan_never_shuffles_corpus
     asserts BroadcastHashJoin + no Exchange carrying ``bytes``.
+
+    Guard: the per-round schedule is bounded per host (politeness
+    budget) but not globally — at extreme host counts an unconditional
+    broadcast could blow past Spark's 8 GB / 512M-row broadcast hard
+    limit and hard-fail the round. Same pattern as the ANN GEMM cap:
+    a bounded ``limit(cap+1).count()`` probe; above ``broadcast_row_cap``
+    the join falls back to a plain shuffle join (degrades — the payload
+    crosses an Exchange that round — but completes).
     """
+    sched_cols = scheduled.select("image_id").limit(broadcast_row_cap + 1)
+    oversized = broadcast_row_cap >= 0 and sched_cols.count() > broadcast_row_cap
+    build = scheduled if oversized else F.broadcast(scheduled)
     hits = corpus.select("image_id", "bytes", "w", "h", "fmt", "caption", "phash").join(
-        F.broadcast(scheduled), "image_id", "inner"
+        build, "image_id", "inner"
     )
     fetched = hits.mapInPandas(_fetch_kernel, FETCH_OUT_SCHEMA)
     misses = scheduled.join(corpus.select("image_id"), "image_id", "left_anti")

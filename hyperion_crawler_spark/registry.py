@@ -152,9 +152,18 @@ def build_pipeline(spark: SparkSession, store_dir: str,
         loader = scfg.get("loader", {})
         if loader.get("target_table"):
             src.target_table = loader["target_table"]
+        if loader.get("update_latest_prices"):
+            # reference krx loader option (etl_config.yaml:31,
+            # krx/loader.py:76-77): maintain the latest-per-key slice
+            src.update_latest = True
         mode = loader.get("default_mode")
         pipe.register(src, default_mode=LoadMode(mode) if mode else None)
         for alert in scfg.get("monitoring", {}).get("alerts", []):
             if alert.get("type") == "data_quality":
                 pipe.quality_thresholds[name] = float(alert["threshold"])
+            elif alert.get("type") == "latency":
+                # reference etl_config.yaml:42-43 — run must finish
+                # within the budget or the lineage row records
+                # status=latency_exceeded
+                pipe.latency_thresholds[name] = float(alert["threshold"])
     return pipe

@@ -64,17 +64,35 @@ class FileEntry:
 
 class SnapshotTable:
     def __init__(self, root: str, name: str, partition_col: str | None = None,
-                 sort_cols: list | None = None):
+                 sort_cols: list | None = None, merge_on_read: bool = False,
+                 compact_after: int = 8):
         """``sort_cols``: Column sort expressions applied within each
         data file at write time (Iceberg table sort-order analog) — the
         frontier uses (priority DESC, urlhash ASC) so the priority queue
         is materialized SORTED and the scheduling scan reads it in queue
         order (north_rule: 'priority queue materialized as a sorted
-        MERGE INTO')."""
+        MERGE INTO').
+
+        ``merge_on_read``: switch ``merge`` from copy-on-write (rewrite
+        every file whose partition stats the source touches) to
+        Iceberg-v2 merge-on-read: each merge APPENDS a delta commit
+        (upsert rows + delete-key tombstones, stamped with a ``_seq``
+        version column) and readers reconcile max-``_seq``-wins per key
+        at scan time. A round's commit then writes O(changed rows), not
+        O(queue) — the difference between rewriting a 10^10-row pending
+        frontier every round and appending the ~10^5 rows that changed.
+        Requires the partition column (when set) to be a deterministic
+        function of the merge keys, so tombstones prune the same files
+        as the base rows they kill. After ``compact_after`` delta
+        commits the merge folds everything into fresh base files
+        (Iceberg ``rewrite_data_files`` analog) so read-side reconcile
+        cost stays bounded."""
         self.dir = os.path.join(root, name)
         self.name = name
         self.partition_col = partition_col
         self.sort_cols = sort_cols
+        self.merge_on_read = merge_on_read
+        self.compact_after = compact_after
         os.makedirs(os.path.join(self.dir, "data"), exist_ok=True)
         os.makedirs(os.path.join(self.dir, "snapshots"), exist_ok=True)
 
@@ -91,9 +109,12 @@ class SnapshotTable:
         with open(os.path.join(self.dir, "snapshots", f"v{version:06d}.json")) as f:
             return json.load(f)
 
-    def _commit(self, files: list[dict], meta: dict | None = None) -> int:
+    def _commit(self, files: list[dict], meta: dict | None = None,
+                keys: list[str] | None = None) -> int:
         ver = (self.current_version() or 0) + 1
         manifest = {"version": ver, "files": files, "meta": meta or {}}
+        if keys and any(f.get("kind") == "delta" for f in files):
+            manifest["keys"] = keys  # reconcile keys for merge-on-read readers
         _atomic_write_json(os.path.join(self.dir, "snapshots", f"v{ver:06d}.json"), manifest)
         return ver
 
@@ -160,11 +181,51 @@ class SnapshotTable:
     def is_empty(self) -> bool:
         return not self._live_files()
 
+    def _read_files(self, spark: SparkSession, files: list[dict]) -> DataFrame:
+        return spark.read.parquet(*[os.path.join(self.dir, f["path"]) for f in files])
+
+    def _reconcile(self, spark: SparkSession, files: list[dict],
+                   keys: list[str]) -> DataFrame:
+        """Merge-on-read scan: base files ∪ delta files, newest ``_seq``
+        wins per key (tombstone beats upsert at equal ``_seq`` — a key
+        merged and deleted in the same commit is deleted). One hash
+        shuffle on the merge keys — the read-side cost merge-on-read
+        trades for O(changed-rows) writes; ``compact`` bounds how many
+        delta files it spans."""
+        base = [f for f in files if f.get("kind", "base") == "base"]
+        delta = [f for f in files if f.get("kind") == "delta"]
+        if not delta:
+            return self._read_files(spark, base)
+        d = self._read_files(spark, delta)
+        user_cols = [c for c in d.columns if c not in ("_seq", "_tomb")]
+        rows = d
+        if base:
+            b = self._read_files(spark, base)
+            user_cols = list(b.columns)  # table column order = base order
+            rows = (b.withColumn("_seq", F.lit(0).cast("long"))
+                     .withColumn("_tomb", F.lit(False))
+                     .unionByName(d))
+        val_cols = [c for c in user_cols if c not in keys]
+        picked = rows.groupBy(*keys).agg(
+            F.max_by(F.struct(*val_cols, "_tomb"),
+                     F.struct(F.col("_seq"), F.col("_tomb").cast("int"))).alias("_r"))
+        return (picked.filter(~F.col("_r._tomb"))
+                .select(*[F.col(k) for k in keys],
+                        *[F.col(f"_r.{c}").alias(c) for c in val_cols])
+                .select(*user_cols))
+
+    def _scan(self, spark: SparkSession, files: list[dict],
+              version: int | None) -> DataFrame:
+        if any(f.get("kind") == "delta" for f in files):
+            ver = version if version is not None else self.current_version()
+            return self._reconcile(spark, files, self._manifest(ver)["keys"])
+        return self._read_files(spark, files)
+
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame | None:
         files = self._live_files(version)
         if not files:
             return None
-        return spark.read.parquet(*[os.path.join(self.dir, f["path"]) for f in files])
+        return self._scan(spark, files, version)
 
     def read_pruned(self, spark: SparkSession, part_values: list[int],
                     version: int | None = None) -> DataFrame | None:
@@ -174,15 +235,21 @@ class SnapshotTable:
         always read (safe). Returns None when the snapshot has no files
         at all (consistent with ``read``); an empty ``part_values`` or
         a no-hit prune returns a typed EMPTY frame (schema taken from
-        the requested version's files)."""
+        the requested version's files). For a merge-on-read table the
+        prune is key-consistent because the partition column is a
+        function of the merge keys: a key's base row, upserts and
+        tombstones all live in the same partition value, so pruning
+        never splits a reconcile group."""
         files = self._live_files(version)
         if not files:
             return None
         _, hit = self._prune(part_values, files) if part_values else ([], [])
         if not hit:
-            schema = spark.read.parquet(os.path.join(self.dir, files[0]["path"])).schema
-            return spark.createDataFrame([], schema)
-        return spark.read.parquet(*[os.path.join(self.dir, f["path"]) for f in hit])
+            bases = [f for f in files if f.get("kind", "base") == "base"] or files
+            schema = spark.read.parquet(os.path.join(self.dir, bases[0]["path"])).schema
+            empty = spark.createDataFrame([], schema)
+            return empty.drop("_seq", "_tomb")
+        return self._scan(spark, hit, version)
 
     def append(self, df: DataFrame, meta: dict | None = None,
                base_version: int | None = None) -> int:
@@ -260,6 +327,12 @@ class SnapshotTable:
         files = self._live_files(base_version)
         if not files:
             return self._commit(self._write_data(alive), meta)
+        # the manifest is authoritative: once a table carries live delta
+        # files it IS merge-on-read, even for a caller that constructed
+        # the handle without the flag (a CoW rewrite over delta files
+        # would mix schemas and mis-merge)
+        if self.merge_on_read or any(f.get("kind") == "delta" for f in files):
+            return self._merge_delta(spark, alive, source, keys, delete_keys, meta, files)
 
         touch_cols = [source]
         if delete_keys is not None:
@@ -287,6 +360,56 @@ class SnapshotTable:
         else:
             new_entries += self._write_data(alive)
         return self._commit(new_entries, meta)
+
+    def _merge_delta(self, spark: SparkSession, alive: DataFrame, source: DataFrame,
+                     keys: list[str], delete_keys: DataFrame | None,
+                     meta: dict | None, files: list[dict]) -> int:
+        """Merge-on-read commit: APPEND one delta batch (upserts stamped
+        ``_seq=<this version>``, tombstones from ``delete_keys`` with
+        ``_tomb=true``) instead of rewriting touched base files. Write
+        cost is O(len(source)+len(delete_keys)) regardless of table
+        size — the fix for the CoW write amplification where a round's
+        uniform urlhash scatter touched every shard file and rewrote
+        the whole pending queue (round-2 verdict, "what's wrong" #1).
+        ``keys`` must be stable across a table's merges (the manifest
+        records them for readers). Folds all deltas into fresh base
+        files every ``compact_after`` delta commits."""
+        if alive.isEmpty() and (delete_keys is None or delete_keys.isEmpty()):
+            return self._commit(files, meta, keys=keys)  # idle merge
+        seq = (self.current_version() or 0) + 1
+        delta = (alive.withColumn("_seq", F.lit(seq).cast("long"))
+                      .withColumn("_tomb", F.lit(False)))
+        if delete_keys is not None:
+            tomb_cols = [
+                (F.col(f.name).cast(f.dataType) if f.name in delete_keys.columns
+                 else F.lit(None).cast(f.dataType)).alias(f.name)
+                for f in source.schema.fields
+            ]
+            tomb = (delete_keys.select(*tomb_cols).distinct()
+                    .withColumn("_seq", F.lit(seq).cast("long"))
+                    .withColumn("_tomb", F.lit(True)))
+            delta = delta.unionByName(tomb)
+        entries = self._write_data(delta)
+        for e in entries:
+            e["kind"] = "delta"
+            e["seq"] = seq
+        new_files = files + entries
+        n_delta_commits = len({f.get("seq") for f in new_files if f.get("kind") == "delta"})
+        if self.compact_after and n_delta_commits >= self.compact_after:
+            folded = self._reconcile(spark, new_files, keys)
+            return self._commit(self._write_data(folded), meta)
+        return self._commit(new_files, meta, keys=keys)
+
+    def compact(self, spark: SparkSession, meta: dict | None = None) -> int:
+        """Fold delta files into fresh base files (Iceberg
+        ``rewrite_data_files`` analog). No-op (returns the current
+        version) when the table has no deltas."""
+        ver = self.current_version()
+        files = self._live_files(ver)
+        if not files or not any(f.get("kind") == "delta" for f in files):
+            return ver or 0
+        df = self._reconcile(spark, files, self._manifest(ver)["keys"])
+        return self._commit(self._write_data(df), meta)
 
     def expire_snapshots(self, retain_versions: set[int] | None = None,
                          keep_last: int = 2) -> dict:
@@ -365,9 +488,12 @@ class Catalog:
         self._tables: dict[str, SnapshotTable] = {}
 
     def table(self, name: str, partition_col: str | None = None,
-              sort_cols: list | None = None) -> SnapshotTable:
+              sort_cols: list | None = None, merge_on_read: bool = False,
+              compact_after: int = 8) -> SnapshotTable:
         if name not in self._tables:
-            self._tables[name] = SnapshotTable(self.root, name, partition_col, sort_cols)
+            self._tables[name] = SnapshotTable(
+                self.root, name, partition_col, sort_cols,
+                merge_on_read=merge_on_read, compact_after=compact_after)
         return self._tables[name]
 
     # ---- round checkpoints ----------------------------------------

@@ -55,3 +55,67 @@ def test_append_mode_duplicates(spark, tmp_path):
     p.run_full_pipeline("market", {"trade_date": "2024-01-05"}, mode=LoadMode.APPEND)
     p.run_full_pipeline("market", {"trade_date": "2024-01-05"}, mode=LoadMode.APPEND)
     assert p.cat.table("market_daily_prices", None).read(spark).count() == 120
+
+
+def test_add_metadata_stamped_on_loaded_rows(spark, tmp_path):
+    # F13 applied in the load path (reference base/loader.py:211-220)
+    p = _pipeline(spark, tmp_path)
+    p.run_full_pipeline("market", {"trade_date": "2024-01-05"})
+    t = p.cat.table("market_daily_prices", None).read(spark)
+    assert {"created_round", "updated_round", "data_source"} <= set(t.columns)
+    row = t.first()
+    assert row["data_source"] == "market"
+    assert row["created_round"] == "2024-01-05"
+
+
+def test_update_latest_keeps_max_date_per_uuid(spark, tmp_path):
+    # reference update_latest_prices (krx/loader.py:76-77,224-235)
+    p = ETLPipeline(spark, str(tmp_path))
+    src = MarketDataSource(n_tickers=30)
+    src.update_latest = True
+    p.register(src)
+    p.run_full_pipeline("market", {"trade_date": "2024-01-05"})
+    p.run_full_pipeline("market", {"trade_date": "2024-01-08"})
+    latest = p.cat.table("market_daily_prices_latest", None).read(spark)
+    assert latest.count() == 30
+    days = {r[0].isoformat() for r in latest.select("trade_date").distinct().collect()}
+    assert days == {"2024-01-08"}
+    # an OUT-OF-ORDER older load must not regress the slice
+    p.run_full_pipeline("market", {"trade_date": "2024-01-02"})
+    latest2 = p.cat.table("market_daily_prices_latest", None).read(spark)
+    assert latest2.count() == 30
+    assert {r[0].isoformat() for r in latest2.select("trade_date").distinct().collect()} \
+        == {"2024-01-08"}
+    # the main table still accumulated all three days
+    assert p.cat.table("market_daily_prices", None).read(spark).count() == 90
+
+
+def test_latency_alert_trips_with_zero_threshold(spark, tmp_path):
+    # reference etl_config.yaml:42-43 (type: latency, threshold: 600)
+    p = _pipeline(spark, tmp_path)
+    p.latency_thresholds["market"] = 0.0  # everything exceeds 0 seconds
+    res = p.run_full_pipeline("market", {"trade_date": "2024-01-05"})
+    assert res.execution_time > 0 and not res.latency_ok and res.quality_ok
+    lin = p.cat.table("etl_lineage", None).read(spark).first()
+    assert lin["status"] == "latency_exceeded"
+    assert lin["execution_time"] > 0 and lin["latency_threshold"] == 0.0
+    # generous budget → success
+    p2 = _pipeline(spark, tmp_path / "ok")
+    p2.latency_thresholds["market"] = 3600.0
+    res2 = p2.run_full_pipeline("market", {"trade_date": "2024-01-05"})
+    assert res2.latency_ok
+    assert p2.cat.table("etl_lineage", None).read(spark).first()["status"] == "success"
+
+
+def test_phase_chain_releases_extract_cache(spark, tmp_path):
+    # ADVICE r2: extract_data persisted the envelope frame and nothing
+    # unpersisted it — _load must release it at the end of the chain
+    p = _pipeline(spark, tmp_path)
+    ex = p.extract_data("market", {"trade_date": "2024-01-05"})
+    raw = ex["data"]
+    assert raw.storageLevel.useMemory or raw.storageLevel.useDisk
+    tr = p.transform_data("market", raw)
+    p.load_data("market", tr["data"], tr["quarantine"])
+    assert not (raw.storageLevel.useMemory or raw.storageLevel.useDisk), \
+        "extract cache must be released after the load commits"
+    assert p._pinned == {}

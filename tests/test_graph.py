@@ -118,3 +118,28 @@ def test_rescore_crawl_resumes_bit_identical(
     run_crawl(spark, s_kill, cfg_r, n_rounds=4, stop_after_round=2, **kw)
     run_crawl(spark, s_kill, cfg_r, n_rounds=4, **kw)
     assert _final_state_hash(spark, s_full) == _final_state_hash(spark, s_kill)
+
+
+def test_rescore_handles_release_cleanly(spark):
+    """handles=[] collects every internally persisted frame; after the
+    caller materializes the blend and unpersists them, nothing stays
+    cached (long-crawl storage discipline — VERDICT r2 #9)."""
+    edges = [("a", "b"), ("b", "c"), ("c", "a")]
+    links = spark.createDataFrame(edges, "src_url string, dst_url string")
+    frontier = spark.createDataFrame(
+        [("a", 0.5), ("b", 0.9), ("z", 0.1)], "url string, priority double")
+    handles = []
+    out = rescore_frontier_priority(frontier, links, handles=handles)
+    out.count()  # caller materializes
+    assert len(handles) == 2  # pagerank nodes + pr
+    assert all(h.storageLevel.useMemory or h.storageLevel.useDisk for h in handles)
+    for h in handles:
+        h.unpersist()
+    assert not any(h.storageLevel.useMemory or h.storageLevel.useDisk for h in handles)
+
+
+def test_pagerank_empty_graph_leaves_no_handles(spark):
+    links = spark.createDataFrame([], "src_url string, dst_url string")
+    handles = []
+    out = pagerank(links, handles=handles)
+    assert out.count() == 0 and handles == []

@@ -161,3 +161,46 @@ def test_bucketed_corpus_modulus_is_persisted_and_guarded(spark, fixture_dfs, tm
         "img_bucket", FT.corpus_bucket(F.col("image_id"), 4)))
     with pytest.raises(ValueError, match="no corpus_buckets meta"):
         FT.read_corpus_for_schedule(spark, t2, sched)
+
+
+def test_exact_dedup_is_minby_agg_not_window(spark):
+    """VERDICT r2 #8: exact_dedup must use the single-exchange min_by
+    hash-agg shape (digests are mostly unique — a window sorts the
+    whole corpus for nothing)."""
+    from hyperion_crawler_spark.operators.dedup import exact_dedup
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i % 7}") for i in range(100)], "doc_id long, text string")
+    p = _plan(exact_dedup(docs, "doc_id", "text"))
+    assert "Window" not in p, "exact_dedup regressed to a window sort"
+    assert "partial_min_by" in p, "map-side combine missing"
+
+
+def test_fetch_broadcast_guard_falls_back_to_shuffle(spark, fixture_dfs, crawl_cfg):
+    """ADVICE r2: above the row cap the schedule must NOT be broadcast
+    (Spark's 8GB/512M-row broadcast hard limit would hard-fail the
+    round) — and the fallback must produce identical results."""
+    from hyperion_crawler_spark.plans.fetch import fetch_and_validate
+    from hyperion_crawler_spark.plans.round import canonical_url_rows
+    from hyperion_crawler_spark.operators.politeness import schedule_round
+
+    frontier = canonical_url_rows(
+        fixture_dfs["seeds"], "url", "image_id", "priority", crawl_cfg,
+        [F.col("image_id")]).withColumn("retry_count", F.lit(0)) \
+        .withColumn("discovered_round", F.lit(0)) \
+        .withColumn("status", F.lit("queued")) \
+        .withColumn("next_fetch_ts", F.lit(0).cast("long"))
+    sched, _ = schedule_round(frontier, fixture_dfs["robots"], crawl_cfg)
+    sched = sched.persist()
+    try:
+        normal = fetch_and_validate(sched, fixture_dfs["corpus"])
+        fallback = fetch_and_validate(sched, fixture_dfs["corpus"],
+                                      broadcast_row_cap=0)
+        # the fallback drops the explicit broadcast hint (AQE may still
+        # auto-broadcast a small schedule at test scale — the guard is
+        # about not FORCING a broadcast past the hard limit); results
+        # must be identical either way
+        assert sorted(map(tuple, normal.collect())) == \
+            sorted(map(tuple, fallback.collect()))
+    finally:
+        sched.unpersist()

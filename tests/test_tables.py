@@ -157,3 +157,113 @@ def test_catalog_expire_respects_round_log(spark, tmp_path):
     assert cat.base_versions()["g2"] == v3
     assert t.read(spark, version=v2).count() == 2
     assert t.read(spark, version=v3).count() == 3
+
+
+# ---- merge-on-read (Iceberg v2 deltas) ---------------------------------
+
+def _file_bytes(t, entries):
+    return sum(os.path.getsize(os.path.join(t.dir, f["path"])) for f in entries)
+
+
+def test_mor_merge_writes_delta_not_queue(spark, tmp_path):
+    # a merge on a big table must write O(changed rows), not O(table):
+    # every base file is carried by reference and the new bytes are tiny
+    t = Catalog(str(tmp_path)).table("m1", "shard", merge_on_read=True)
+    big = spark.range(100_000).select(
+        F.col("id").alias("k"),
+        F.pmod("id", F.lit(8)).cast("int").alias("shard"),
+        F.concat(F.lit("v"), F.col("id")).alias("v"))
+    t.append(big)
+    base_files = {f["path"] for f in t._live_files()}
+    base_bytes = _file_bytes(t, t._live_files())
+    src = spark.createDataFrame(
+        [(5, 5, "UP"), (100_005, 5, "NEW")], "k long, shard int, v string")
+    dels = spark.createDataFrame([(7, 7)], "k long, shard int")
+    t.merge(spark, src, ["k"], delete_keys=dels)
+    after = t._live_files()
+    assert base_files <= {f["path"] for f in after}, "base files must be carried, not rewritten"
+    delta = [f for f in after if f.get("kind") == "delta"]
+    assert delta and all("seq" in f for f in delta)
+    assert _file_bytes(t, delta) < base_bytes / 10, \
+        f"delta bytes {_file_bytes(t, delta)} not O(changed rows) vs base {base_bytes}"
+    got = t.read(spark)
+    assert got.count() == 100_000  # +1 new, -1 deleted, 1 updated in place
+    assert _rows(got.filter("k in (5, 7, 100005)").select("k", "v")) == \
+        [(5, "UP"), (100_005, "NEW")]
+
+
+def test_mor_delete_wins_and_reinsert_later(spark, tmp_path):
+    t = Catalog(str(tmp_path)).table("m2", "shard", merge_on_read=True)
+    t.append(spark.createDataFrame(
+        [(1, 1, "a"), (2, 2, "b")], "k int, shard int, v string"))
+    # same-commit source+delete on k=2 → DELETE branch wins
+    t.merge(spark,
+            spark.createDataFrame([(2, 2, "B")], "k int, shard int, v string"),
+            ["k"],
+            delete_keys=spark.createDataFrame([(2, 2)], "k int, shard int"))
+    assert _rows(t.read(spark)) == [(1, 1, "a")]
+    # later commit re-inserts k=2 → newest _seq wins over the tombstone
+    t.merge(spark,
+            spark.createDataFrame([(2, 2, "b2")], "k int, shard int, v string"),
+            ["k"])
+    assert _rows(t.read(spark)) == [(1, 1, "a"), (2, 2, "b2")]
+
+
+def test_mor_compaction_folds_deltas(spark, tmp_path):
+    t = Catalog(str(tmp_path)).table("m3", "shard", merge_on_read=True,
+                                     compact_after=3)
+    t.append(spark.createDataFrame([(1, 1, "a")], "k int, shard int, v string"))
+    for i in range(2, 5):  # 3 delta commits → third triggers compaction
+        t.merge(spark, spark.createDataFrame(
+            [(i, i % 8, f"v{i}")], "k int, shard int, v string"), ["k"])
+    files = t._live_files()
+    assert not any(f.get("kind") == "delta" for f in files), \
+        "compact_after delta commits must fold into base files"
+    assert "keys" not in t._manifest(t.current_version())
+    assert _rows(t.read(spark)) == [
+        (1, 1, "a"), (2, 2, "v2"), (3, 3, "v3"), (4, 4, "v4")]
+    # explicit compact() is a no-op on a delta-free table
+    assert t.compact(spark) == t.current_version()
+
+
+def test_mor_idle_merge_carries_files(spark, tmp_path):
+    t = Catalog(str(tmp_path)).table("m4", "shard", merge_on_read=True)
+    t.append(spark.createDataFrame([(1, 1, "a")], "k int, shard int, v string"))
+    before = {f["path"] for f in t._live_files()}
+    t.merge(spark, spark.createDataFrame([], "k int, shard int, v string"), ["k"],
+            delete_keys=spark.createDataFrame([], "k int, shard int"))
+    assert {f["path"] for f in t._live_files()} == before
+
+
+def test_mor_read_pruned_reconciles(spark, tmp_path):
+    t = Catalog(str(tmp_path)).table("m5", "shard", merge_on_read=True)
+    t.append(spark.range(64).select(
+        F.col("id").alias("k"),
+        F.pmod("id", F.lit(8)).cast("int").alias("shard"),
+        F.lit("old").alias("v")))
+    t.merge(spark,
+            spark.createDataFrame([(10, 2, "new")], "k long, shard int, v string"),
+            ["k"],
+            delete_keys=spark.createDataFrame([(18, 2)], "k long, shard int"))
+    pruned = t.read_pruned(spark, [2])
+    assert _rows(pruned.select("k", "v")) == sorted(
+        [(k, "new" if k == 10 else "old") for k in range(2, 64, 8) if k != 18])
+
+
+def test_mor_time_travel_and_resume_base(spark, tmp_path):
+    # a redo bound to base_version must not see (and must orphan) a
+    # later uncheckpointed delta
+    t = Catalog(str(tmp_path)).table("m6", "shard", merge_on_read=True)
+    v1 = t.append(spark.createDataFrame([(1, 1, "a")], "k int, shard int, v string"))
+    v2 = t.merge(spark, spark.createDataFrame(
+        [(2, 2, "b")], "k int, shard int, v string"), ["k"])
+    # crashed attempt: delta committed but round never checkpointed
+    t.merge(spark, spark.createDataFrame(
+        [(3, 3, "CRASH")], "k int, shard int, v string"), ["k"])
+    # redo on v2
+    v4 = t.merge(spark, spark.createDataFrame(
+        [(3, 3, "redo")], "k int, shard int, v string"), ["k"], base_version=v2)
+    assert _rows(t.read(spark, version=v1)) == [(1, 1, "a")]
+    assert _rows(t.read(spark, version=v2)) == [(1, 1, "a"), (2, 2, "b")]
+    assert _rows(t.read(spark, version=v4)) == [
+        (1, 1, "a"), (2, 2, "b"), (3, 3, "redo")]
