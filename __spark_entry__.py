@@ -35,6 +35,7 @@ from hyperion_crawler_spark.functions.scalars import (  # noqa: E402
 )
 from hyperion_crawler_spark.operators import dedup as DD  # noqa: E402
 from hyperion_crawler_spark.operators import relational as R  # noqa: E402
+from hyperion_crawler_spark.operators import ranking as RK  # noqa: E402
 from hyperion_crawler_spark.operators import similarity as SIM  # noqa: E402
 from hyperion_crawler_spark.operators.politeness import topk_per_host  # noqa: E402
 from hyperion_crawler_spark.plans.round import canonical_url_rows  # noqa: E402
@@ -486,6 +487,51 @@ def q38_winnowing_pairs(spark, sf):
         .withColumn("n_shared", F.col("n_shared").cast("long"))
 
 
+def q39_dup_clusters(spark, sf):
+    """Connected-component duplicate clusters over winnowing candidate
+    pairs (min-label propagation, 4 fixed iterations — enough for the
+    shallow near-dup components here and SQL-mirrorable as an unrolled
+    CTE). The keep-one-per-cluster step every pairwise dedup needs."""
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    pairs = DD.winnowing_pairs(d, "doc_id", "text", k=8, w=4, min_shared=2)
+    return DD.dup_clusters(pairs, iters=4)
+
+
+def q40_bm25(spark, sf):
+    """Okapi BM25 relevance of every document against a keyword query
+    (training-data selection: score against a target-domain keyword
+    description, keep the top slice)."""
+    d = _t(spark, sf, "documents")
+    return RK.bm25_scores(d, "doc_id", "text",
+                          ["spark", "table", "scan", "merge", "vector"])
+
+
+def q41_trap_signals(spark, sf):
+    """Crawler-trap signals (path depth / query-param count / repeated
+    path segments) over URLs synthesized deterministically from orders —
+    the frontier guard predicates as a value-checked query."""
+    from hyperion_crawler_spark.functions import urls as U
+
+    o = _t(spark, sf, "orders").filter(F.col("o_orderkey") < 3000)
+    nseg = F.col("o_orderkey") % 5
+    nq = F.col("o_orderkey") % 4
+    url = F.concat(
+        F.lit("https://h"), (F.col("o_custkey") % 40).cast("string"),
+        F.lit(".example.com/"),
+        F.repeat(F.lit("a/b/"), nseg.cast("int")), F.lit("page"),
+        F.when(nq > 0, F.concat(F.lit("?"),
+                                F.substring(F.repeat(F.lit("&k=v"), nq.cast("int")), 2, 1 << 20)))
+         .otherwise(F.lit("")))
+    d = o.select("o_orderkey", url.alias("url"))
+    return d.select(
+        "o_orderkey",
+        U.path_depth(F.col("url")).alias("depth"),
+        U.query_param_count(F.col("url")).alias("n_params"),
+        U.max_segment_repeat(F.col("url")).alias("max_repeat"),
+        U.is_probable_trap(F.col("url"), max_depth=6, max_params=2,
+                           max_repeat=3).alias("is_trap"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_first_wins_dedup": q01_first_wins_dedup,
@@ -527,6 +573,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q36_pagerank": q36_pagerank,
         "q37_winnowing": q37_winnowing,
         "q38_winnowing_pairs": q38_winnowing_pairs,
+        "q39_dup_clusters": q39_dup_clusters,
+        "q40_bm25": q40_bm25,
+        "q41_trap_signals": q41_trap_signals,
     }
 
 
@@ -534,6 +583,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # DuckDB oracle SQL — identical column names & expression shapes
 # =====================================================================
 _H60 = "CAST(CAST(concat('0x', substr(sha256({x}), 1, 15)) AS UBIGINT) AS BIGINT)"
+
+# winnowing candidate-pair CTE chain (shared by q38 + q39): k=8, w=4,
+# documents doc_id < 200 — mirrors dedup.winnowing_fingerprints/_pairs
+_winnow_pairs_cte = f"""d AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+            g AS (
+              SELECT doc_id,
+                     [{_H60.format(x="substr(text, i, 8)")}
+                      for i in generate_series(1, greatest(len(text) - 7, 0))] AS hashes
+              FROM d),
+            m AS (
+              SELECT doc_id,
+                     list_distinct(
+                       [list_min(hashes[i:i+3])
+                        for i in generate_series(1, greatest(len(hashes) - 3, 0))]) AS fps
+              FROM g),
+            fp AS (SELECT doc_id, unnest(fps) AS fp FROM m),
+            pairs AS (
+              SELECT a.doc_id AS id1, b.doc_id AS id2,
+                     CAST(count(*) AS BIGINT) AS n_shared
+              FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)"""
 
 
 def _sql_ngrams(text: str, n: int) -> str:
@@ -576,6 +646,23 @@ def _sql_plane_sig(vec: str) -> str:
         )
     return "(" + " + ".join(bits) + ")"
 
+
+# argmax tie-break mirrors functions/text.lang_id: fixed STOPWORDS
+# iteration order (first language hitting the max wins)
+_SQL_LANG_BEST = "greatest(" + ", ".join(f"s_{lg}" for lg in TX.STOPWORDS) + ")"
+
+
+def _cc_iters_cte(iters: int) -> str:
+    """Unrolled min-label-propagation CTEs l0..l{iters} (the DuckDB
+    mirror of dedup.dup_clusters with fixed ``iters``)."""
+    out = ["l0 AS (SELECT DISTINCT src AS node, src AS label FROM e)"]
+    for i in range(1, iters + 1):
+        out.append(
+            f"l{i} AS (SELECT node, min(label) AS label FROM ("
+            f"SELECT node, label FROM l{i - 1} "
+            f"UNION ALL SELECT e.dst AS node, l{i - 1}.label "
+            f"FROM e JOIN l{i - 1} ON e.src = l{i - 1}.node) GROUP BY node)")
+    return ",\n            ".join(out)
 
 _SQL_COS = ("round(list_dot_product(list_transform({a}, x -> CAST(x AS DOUBLE)), "
             "list_transform({b}, x -> CAST(x AS DOUBLE))) / "
@@ -838,13 +925,12 @@ def oracle_sql() -> dict[str, str]:
         "q23_lang_id": f"""
             WITH s AS (
               SELECT doc_id, text,
-                     {sw['en']} AS s_en, {sw['de']} AS s_de, {sw['fr']} AS s_fr
+                     {", ".join(f"{sw[lg]} AS s_{lg}" for lg in TX.STOPWORDS)}
               FROM documents)
             SELECT doc_id,
-                   CASE WHEN greatest(s_en, s_de, s_fr) <= 0 THEN 'unknown'
-                        WHEN s_en = greatest(s_en, s_de, s_fr) THEN 'en'
-                        WHEN s_de = greatest(s_en, s_de, s_fr) THEN 'de'
-                        WHEN s_fr = greatest(s_en, s_de, s_fr) THEN 'fr'
+                   CASE WHEN {_SQL_LANG_BEST} <= 0 THEN 'unknown'
+                        {" ".join(f"WHEN s_{lg} = {_SQL_LANG_BEST} THEN '{lg}'"
+                                  for lg in TX.STOPWORDS)}
                    END AS lang_guess,
                    CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
                    CAST(len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]'))
@@ -1023,24 +1109,73 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, unnest(fps) AS fp FROM m
         """,
         "q38_winnowing_pairs": f"""
-            WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
-            g AS (
-              SELECT doc_id,
-                     [{_H60.format(x="substr(text, i, 8)")}
-                      for i in generate_series(1, greatest(len(text) - 7, 0))] AS hashes
-              FROM d),
-            m AS (
-              SELECT doc_id,
-                     list_distinct(
-                       [list_min(hashes[i:i+3])
-                        for i in generate_series(1, greatest(len(hashes) - 3, 0))]) AS fps
-              FROM g),
-            fp AS (SELECT doc_id, unnest(fps) AS fp FROM m),
-            pairs AS (
-              SELECT a.doc_id AS id1, b.doc_id AS id2,
-                     CAST(count(*) AS BIGINT) AS n_shared
-              FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
-              GROUP BY 1, 2)
+            WITH {_winnow_pairs_cte}
             SELECT id1, id2, n_shared FROM pairs WHERE n_shared >= 2
+        """,
+        "q39_dup_clusters": f"""
+            WITH {_winnow_pairs_cte},
+            kept AS (SELECT id1, id2 FROM pairs WHERE n_shared >= 2),
+            e AS (SELECT id1 AS src, id2 AS dst FROM kept
+                  UNION ALL SELECT id2 AS src, id1 AS dst FROM kept),
+            {_cc_iters_cte(4)}
+            SELECT node AS doc_id, label AS cluster_id FROM l4
+        """,
+        "q40_bm25": f"""
+            WITH d2 AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                 t -> t != '') AS toks
+              FROM documents),
+            d3 AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl FROM d2),
+            stats AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                             CAST(sum(dl) AS BIGINT) AS sumdl FROM d3),
+            tf AS (
+              SELECT doc_id, dl, t AS term, CAST(count(*) AS BIGINT) AS tf
+              FROM (SELECT doc_id, dl, unnest(toks) AS t FROM d3)
+              WHERE t IN ('merge', 'scan', 'spark', 'table', 'vector')
+              GROUP BY doc_id, dl, t),
+            dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+            contrib AS (
+              SELECT tf.doc_id,
+                     floor((ln(1.0 + (n - df + 0.5) / (df + 0.5))
+                            * (tf * (1.2 + 1.0))
+                            / (tf + 1.2 * ((1.0 - 0.75)
+                               + 0.75 * dl / (CAST(sumdl AS DOUBLE) / n))))
+                           * 1e9 + 0.5) / 1e9 AS c
+              FROM tf JOIN dft USING (term) CROSS JOIN stats),
+            s AS (SELECT doc_id, sum(c) AS sc FROM contrib GROUP BY doc_id)
+            SELECT d3.doc_id,
+                   floor(coalesce(s.sc, 0.0) * 1e6 + 0.5) / 1e6 AS score
+            FROM d3 LEFT JOIN s USING (doc_id)
+        """,
+        "q41_trap_signals": """
+            WITH u AS (
+              SELECT o_orderkey,
+                     'https://h' || CAST(o_custkey % 40 AS VARCHAR) || '.example.com/'
+                     || repeat('a/b/', CAST(o_orderkey % 5 AS INTEGER)) || 'page'
+                     || CASE WHEN o_orderkey % 4 > 0
+                             THEN '?' || substr(repeat('&k=v',
+                                                CAST(o_orderkey % 4 AS INTEGER)), 2)
+                             ELSE '' END AS url
+              FROM orders WHERE o_orderkey < 3000),
+            p AS (
+              SELECT o_orderkey,
+                     list_filter(string_split(
+                       regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]+(/[^?#]*)', 1),
+                       '/'), x -> x != '') AS segs,
+                     regexp_extract(url, '\\?([^#]*)', 1) AS q
+              FROM u),
+            m AS (
+              SELECT o_orderkey,
+                     CAST(len(segs) AS INTEGER) AS depth,
+                     CAST(CASE WHEN q = '' THEN 0
+                          ELSE len(string_split(q, '&')) END AS INTEGER) AS n_params,
+                     CAST(coalesce(list_max(list_transform(segs,
+                            s -> len(list_filter(segs, x -> x = s)))), 0)
+                          AS INTEGER) AS max_repeat
+              FROM p)
+            SELECT o_orderkey, depth, n_params, max_repeat,
+                   (depth > 6 OR n_params > 2 OR max_repeat > 3) AS is_trap
+            FROM m
         """,
     }

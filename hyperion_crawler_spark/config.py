@@ -47,6 +47,13 @@ class CrawlConfig:
                                        # the round checkpoint, so resume stays
                                        # bit-identical)
     rescore_weight: float = 0.5        # blend: (1-w)·priority + w·pagerank
+    # crawler-trap guards (0 = disabled; defaults off so crawl-order
+    # parity with the trap-unaware reference run is preserved unless
+    # opted in). Tripped URLs leave the frontier as status='excluded'
+    # through the same archive path robots exclusions use.
+    max_url_depth: int = 0             # path segments per URL
+    max_query_params: int = 0          # &-separated query params
+    max_segment_repeat: int = 0        # same path segment repeated N× (loop signal)
 
 
 def default_config() -> CrawlConfig:

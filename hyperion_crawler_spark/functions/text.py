@@ -19,6 +19,10 @@ STOPWORDS = {
     "en": ["the", "a", "of", "and", "to", "in", "is", "it"],
     "de": ["der", "die", "das", "und", "ist", "ein", "zu", "den"],
     "fr": ["le", "la", "de", "et", "est", "un", "une", "les"],
+    "es": ["el", "los", "de", "y", "es", "un", "una", "que"],
+    "it": ["il", "di", "che", "e", "un", "per", "sono", "della"],
+    "pt": ["o", "os", "de", "e", "um", "uma", "que", "não"],
+    "nl": ["de", "het", "een", "van", "en", "is", "dat", "niet"],
 }
 
 

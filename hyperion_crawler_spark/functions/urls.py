@@ -157,3 +157,55 @@ def host_expr(col):
     (stays in whole-stage codegen, no Python): text between ``://`` and
     the next ``/``, minus any ``:port``."""
     return F.lower(F.regexp_extract(col, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#:]+)", 1))
+
+
+# ----------------------------------------------------------- trap signals
+# Crawler-trap heuristics over *canonical* URLs — calendar pages,
+# session-id mills and symlink loops show up as unbounded path depth,
+# query-parameter explosions, or the same path segment repeating
+# (``/a/b/a/b/a/b/...``). All pure Catalyst (codegen'd; the segment
+# scan is O(depth²) per row with depth ≤ a few dozen — still far
+# cheaper than one Arrow round-trip). The reference has no URL surface;
+# these guard the frontier the way its validity predicate guards rows
+# (api/src/etl/base/transformer.py:60-75: drop rows that can never be
+# useful before they cost anything downstream).
+
+def _path_segments(url_col):
+    from ..operators.politeness import path_expr
+
+    return F.filter(F.split(path_expr(url_col), "/"), lambda s: s != "")
+
+
+def path_depth(url_col) -> "F.Column":
+    """Number of non-empty path segments of a canonical URL."""
+    return F.size(_path_segments(url_col))
+
+
+def query_param_count(url_col) -> "F.Column":
+    """Number of ``&``-separated query parameters (0 when no query)."""
+    q = F.regexp_extract(url_col, r"\?([^#]*)", 1)
+    return F.when(q == "", F.lit(0)).otherwise(F.size(F.split(q, "&")))
+
+
+def max_segment_repeat(url_col) -> "F.Column":
+    """Highest occurrence count of any single path segment — ≥3 is the
+    classic symlink-loop / calendar-trap signal. 0 for a bare host."""
+    segs = _path_segments(url_col)
+    counts = F.transform(
+        segs, lambda s: F.size(F.filter(segs, lambda x: x == s)))
+    return F.coalesce(F.array_max(counts), F.lit(0))
+
+
+def is_probable_trap(url_col, max_depth: int = 0, max_params: int = 0,
+                     max_repeat: int = 0) -> "F.Column":
+    """True when any enabled (>0) trap threshold is exceeded. All
+    thresholds 0 → constant false (the crawl default: parity with the
+    trap-unaware reference run is preserved unless opted in)."""
+    cond = F.lit(False)
+    if max_depth:
+        cond = cond | (path_depth(url_col) > max_depth)
+    if max_params:
+        cond = cond | (query_param_count(url_col) > max_params)
+    if max_repeat:
+        cond = cond | (max_segment_repeat(url_col) > max_repeat)
+    return cond

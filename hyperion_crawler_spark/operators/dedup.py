@@ -261,3 +261,75 @@ def simhash_df(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.lit(0).cast("long"),
     ) + F.when(F.col("s63") > 0, F.lit(-(1 << 63))).otherwise(F.lit(0))
     return sums.select("doc_id", packed.alias("simhash"))
+
+
+# ----------------------------------------------- duplicate-cluster labels
+def dup_clusters(pairs: DataFrame, id1: str = "id1", id2: str = "id2",
+                 iters: int | None = None, max_iters: int = 25,
+                 node_col: str = "doc_id", label_col: str = "cluster_id",
+                 handles: list | None = None) -> DataFrame:
+    """Connected components over a near-dup pair list → one canonical
+    cluster label (the MIN member id) per document. This is the step
+    after every pair generator here (LSH / SimHash / winnowing /
+    Jaccard): training-data dedup keeps one document per *cluster*,
+    and pairs alone can't say that (A~B, B~C must collapse to one
+    keeper, not two).
+
+    Deterministic min-label propagation: label(v) starts at v; each
+    iteration takes the min over v's label and its neighbors' labels.
+    Converges in (max cluster diameter) iterations — near-dup clusters
+    are shallow (dozens of members, diameter ≤ a few hops), which is
+    why plain propagation beats the large-star/small-star pointer
+    machinery here (that variant pays off on web-graph-diameter
+    components, not dedup clusters).
+
+    ``iters``: fixed iteration count (oracle-mirrorable — the unrolled
+    SQL computes the identical labels). ``None``: run to convergence —
+    one count job per iteration on the changed-label set, capped at
+    ``max_iters``; each iteration localCheckpoints the labels so the
+    loop's lineage (and its replay cost on an executor loss) stays one
+    iteration deep instead of growing unboundedly.
+
+    Scale shape per iteration: one equi-join (symmetric edges ⨝ labels,
+    shuffle on node id) + one min hash-aggregate (map-side combinable).
+    The symmetric edge list is persisted once and reused every
+    iteration.
+
+    ``handles``: as in ``graph.pagerank`` — in fixed-``iters`` mode the
+    returned plan still references the persisted edge list, so pass a
+    list to receive it and unpersist after materializing (converged
+    mode checkpoints eagerly and releases the cache itself).
+    """
+    edges = (pairs.select(F.col(id1).alias("src"), F.col(id2).alias("dst"))
+             .unionByName(pairs.select(F.col(id2).alias("src"),
+                                       F.col(id1).alias("dst")))).persist()
+    labels = (edges.select(F.col("src").alias("node")).distinct()
+              .select("node", F.col("node").alias("label")))
+
+    def step(lab: DataFrame) -> DataFrame:
+        msgs = (edges.join(lab, edges["src"] == lab["node"])
+                .select(edges["dst"].alias("node"), "label"))
+        return (lab.unionByName(msgs)
+                .groupBy("node").agg(F.min("label").alias("label")))
+
+    if iters is not None:
+        out = labels
+        for _ in range(iters):
+            out = step(out)
+        if handles is not None:
+            handles.append(edges)
+        return out.select(F.col("node").alias(node_col),
+                          F.col("label").alias(label_col))
+    else:
+        cur = labels.localCheckpoint(eager=True)
+        for _ in range(max_iters):
+            nxt = step(cur).localCheckpoint(eager=True)
+            changed = (nxt.join(cur.withColumnRenamed("label", "_old"), "node")
+                       .filter(F.col("label") != F.col("_old")).limit(1).count())
+            cur = nxt
+            if changed == 0:
+                break
+        out = cur
+    edges.unpersist()
+    return out.select(F.col("node").alias(node_col),
+                      F.col("label").alias(label_col))

@@ -111,6 +111,15 @@ def schedule_round(frontier_eligible: DataFrame, robots: DataFrame, cfg: CrawlCo
     status 'excluded' (reference analog: drop-with-warning —
     /root/reference/api/src/etl/krx/transformer.py:86-89)."""
     annotated = with_robots(frontier_eligible, robots, cfg)
-    excluded = annotated.filter(~F.col("robots_allowed")).drop("robots_allowed", "budget")
-    allowed = annotated.filter(F.col("robots_allowed")).drop("robots_allowed")
+    # crawler-trap guard (depth / query-param / repeated-segment caps,
+    # functions/urls.py): tripped URLs are excluded exactly like robots
+    # denials. Constant-false when every threshold is 0 (the default),
+    # so the predicate folds away and parity runs are untouched.
+    from ..functions.urls import is_probable_trap
+
+    trap = is_probable_trap(F.col("url"), cfg.max_url_depth,
+                            cfg.max_query_params, cfg.max_segment_repeat)
+    keep = F.col("robots_allowed") & ~trap
+    excluded = annotated.filter(~keep).drop("robots_allowed", "budget")
+    allowed = annotated.filter(keep).drop("robots_allowed")
     return topk_per_host(allowed, cfg).drop("budget"), excluded

@@ -241,3 +241,53 @@ def test_winnowing_guarantee_and_short_text(spark):
     again = {r["doc_id"]: set(r["fps"]) for r in df.select(
         "doc_id", DD.winnowing_fingerprints(F.col("text"), 8, 4).alias("fps")).collect()}
     assert fps == again
+
+
+# ------------------------------------------------ duplicate clusters
+def _pairs(spark, rows):
+    return spark.createDataFrame(rows, "id1 long, id2 long")
+
+
+def test_dup_clusters_transitive_closure(spark):
+    # A~B, B~C, D~E → {A,B,C} labeled min=1, {D,E} labeled 4; isolated
+    # pairsless docs don't appear (no edges → caller unions them back)
+    pairs = _pairs(spark, [(1, 2), (2, 3), (4, 5)])
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in DD.dup_clusters(pairs, iters=4).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4}
+
+
+def test_dup_clusters_converged_equals_fixed(spark):
+    # a 6-hop chain: fixed iters=2 is NOT converged; converged mode must
+    # reach the fixpoint (everything labeled 1)
+    chain = _pairs(spark, [(i, i + 1) for i in range(1, 8)])
+    fixed2 = {r["doc_id"]: r["cluster_id"]
+              for r in DD.dup_clusters(chain, iters=2).collect()}
+    conv = {r["doc_id"]: r["cluster_id"]
+            for r in DD.dup_clusters(chain).collect()}
+    assert set(conv.values()) == {1}
+    assert fixed2 != conv  # 2 hops can't have propagated to the chain end
+    fixed8 = {r["doc_id"]: r["cluster_id"]
+              for r in DD.dup_clusters(chain, iters=8).collect()}
+    assert fixed8 == conv
+
+
+def test_dup_clusters_on_winnowing_pairs(spark):
+    # end-to-end: near-dup variants land in their original's cluster
+    d = _with_variants(_docs(spark, 30))
+    pairs = DD.winnowing_pairs(d, "doc_id", "text", k=8, w=4, min_shared=2)
+    labels = {r["doc_id"]: r["cluster_id"] for r in DD.dup_clusters(pairs).collect()}
+    hits = sum(1 for i in range(30)
+               if labels.get(i) is not None and labels.get(i) == labels.get(i + 100000))
+    assert hits >= 25  # variants share long substrings → same component
+
+
+def test_dup_clusters_handles_release(spark):
+    pairs = _pairs(spark, [(1, 2)])
+    handles = []
+    out = DD.dup_clusters(pairs, iters=1, handles=handles)
+    out.count()
+    assert len(handles) == 1
+    for h in handles:
+        h.unpersist()
+    assert not any(h.storageLevel.useMemory or h.storageLevel.useDisk for h in handles)

@@ -73,3 +73,34 @@ def test_unknown_host_gets_default_budget(spark, crawl_cfg):
     row = ann.first()
     assert row["robots_allowed"] is True
     assert row["budget"] == crawl_cfg.default_host_budget
+
+
+def test_schedule_round_excludes_traps_when_enabled(spark, fixture_dfs, crawl_cfg):
+    """Trap guards route URLs through the same excluded path robots
+    denials use; thresholds 0 (default) leave scheduling untouched."""
+    import dataclasses
+
+    from hyperion_crawler_spark.plans.round import canonical_url_rows
+
+    deep = spark.createDataFrame(
+        [("https://h0.example.com/" + "a/b/" * 10 + "leaf", "img_trap", 0.5)],
+        "url string, image_id string, priority double")
+    seeds = fixture_dfs["seeds"].select("url", "image_id", "priority").unionByName(deep)
+    frontier = canonical_url_rows(
+        seeds, "url", "image_id", "priority", crawl_cfg, [F.col("image_id")]) \
+        .withColumn("retry_count", F.lit(0)) \
+        .withColumn("discovered_round", F.lit(0)) \
+        .withColumn("status", F.lit("queued")) \
+        .withColumn("next_fetch_ts", F.lit(0).cast("long"))
+
+    base_sched, base_excl = schedule_round(frontier, fixture_dfs["robots"], crawl_cfg)
+    cfg_trap = dataclasses.replace(crawl_cfg, max_url_depth=8)
+    trap_sched, trap_excl = schedule_round(frontier, fixture_dfs["robots"], cfg_trap)
+
+    assert base_sched.filter(F.col("image_id") == "img_trap").count() == 1
+    assert trap_sched.filter(F.col("image_id") == "img_trap").count() == 0
+    assert trap_excl.filter(F.col("image_id") == "img_trap").count() == 1
+    # everything else is untouched by the guard
+    assert (sorted(r["urlhash"] for r in trap_sched.collect())
+            == sorted(r["urlhash"] for r in
+                      base_sched.filter(F.col("image_id") != "img_trap").collect()))

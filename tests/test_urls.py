@@ -100,3 +100,38 @@ def test_fast_path_predicate_is_sound():
     for u in probes:
         if re.match(_CANONICAL_SAFE_RE, u) and not re.search(_DOT_SEG_ANY_RE, u):
             assert canonicalize_one(u) == u, u
+
+
+# --------------------------------------------------------- trap signals
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def test_trap_signal_values(spark):
+    from hyperion_crawler_spark.functions.urls import (
+        is_probable_trap, max_segment_repeat, path_depth, query_param_count)
+
+    rows = [
+        ("https://a.com/", 0, 0, 0),
+        ("https://a.com/x/y/z", 3, 0, 1),
+        ("https://a.com/x/y?a=1&b=2&c=3", 2, 3, 1),
+        ("https://a.com/a/b/a/b/a/b/page", 7, 0, 3),
+        ("https://a.com/cal/2024/01/cal/2024/02/cal/2024/03", 9, 0, 3),
+    ]
+    df = spark.createDataFrame([(u,) for u, *_ in rows], "url string").select(
+        "url",
+        path_depth(F.col("url")).alias("d"),
+        query_param_count(F.col("url")).alias("p"),
+        max_segment_repeat(F.col("url")).alias("r"),
+        is_probable_trap(F.col("url"), 6, 2, 2).alias("trap"),
+    )
+    got = {r["url"]: (r["d"], r["p"], r["r"], r["trap"]) for r in df.collect()}
+    for u, d, p, rep in [(r[0], r[1], r[2], r[3]) for r in rows]:
+        expect_trap = d > 6 or p > 2 or rep > 2
+        assert got[u] == (d, p, rep, expect_trap), u
+
+
+def test_trap_disabled_is_constant_false(spark):
+    from hyperion_crawler_spark.functions.urls import is_probable_trap
+
+    df = spark.createDataFrame([("https://a.com/" + "x/" * 50,)], "url string")
+    assert df.select(is_probable_trap(F.col("url")).alias("t")).first()["t"] is False
