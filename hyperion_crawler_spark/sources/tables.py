@@ -93,6 +93,12 @@ class SnapshotTable:
         self.sort_cols = sort_cols
         self.merge_on_read = merge_on_read
         self.compact_after = compact_after
+        # broadcast ceiling for the read-side delta application (the
+        # Iceberg equality-delete plan); above it _reconcile falls back
+        # to the full hash reconcile. Parquet bytes, not rows — on an
+        # object store the manifest would carry sizes, here the local
+        # stat is exact.
+        self.mor_broadcast_bytes = 256 << 20
         os.makedirs(os.path.join(self.dir, "data"), exist_ok=True)
         os.makedirs(os.path.join(self.dir, "snapshots"), exist_ok=True)
 
@@ -184,35 +190,58 @@ class SnapshotTable:
     def _read_files(self, spark: SparkSession, files: list[dict]) -> DataFrame:
         return spark.read.parquet(*[os.path.join(self.dir, f["path"]) for f in files])
 
+    def _delta_winners(self, d: DataFrame, keys: list[str]) -> DataFrame:
+        """Newest row per key among DELTA rows only (tombstone beats
+        upsert at equal ``_seq`` — a key merged and deleted in the same
+        commit is deleted). Small: O(changed rows) over ≤
+        ``compact_after`` commits. Keeps ``_tomb``."""
+        user_cols = [c for c in d.columns if c not in ("_seq", "_tomb")]
+        val_cols = [c for c in user_cols if c not in keys]
+        picked = d.groupBy(*keys).agg(
+            F.max_by(F.struct(*val_cols, "_tomb"),
+                     F.struct(F.col("_seq"), F.col("_tomb").cast("int"))).alias("_r"))
+        return picked.select(*[F.col(k) for k in keys],
+                             *[F.col(f"_r.{c}").alias(c) for c in val_cols],
+                             F.col("_r._tomb").alias("_tomb"))
+
     def _reconcile(self, spark: SparkSession, files: list[dict],
                    keys: list[str]) -> DataFrame:
         """Merge-on-read scan: base files ∪ delta files, newest ``_seq``
-        wins per key (tombstone beats upsert at equal ``_seq`` — a key
-        merged and deleted in the same commit is deleted). One hash
-        shuffle on the merge keys — the read-side cost merge-on-read
-        trades for O(changed-rows) writes; ``compact`` bounds how many
-        delta files it spans."""
+        wins per key, base rows implicitly ``_seq=0``.
+
+        Scale shape (the Iceberg equality-delete plan): reconcile the
+        DELTAS among themselves first (one small hash agg ∝ changed
+        rows), then apply them to the base as ``base ANTI-JOIN
+        broadcast(delta keys) UNION delta survivors`` — the base table
+        NEVER shuffles. A 10^10-row frontier read costs a broadcast
+        filter over the base scan, not a full-queue hash exchange (that
+        naive shape would have traded the CoW write amplification for
+        equal read amplification). Falls back to the full hash
+        reconcile when the deltas outgrow ``mor_broadcast_bytes``
+        (compaction normally folds them long before that)."""
         base = [f for f in files if f.get("kind", "base") == "base"]
         delta = [f for f in files if f.get("kind") == "delta"]
         if not delta:
             return self._read_files(spark, base)
         d = self._read_files(spark, delta)
         user_cols = [c for c in d.columns if c not in ("_seq", "_tomb")]
-        rows = d
-        if base:
-            b = self._read_files(spark, base)
-            user_cols = list(b.columns)  # table column order = base order
-            rows = (b.withColumn("_seq", F.lit(0).cast("long"))
-                     .withColumn("_tomb", F.lit(False))
-                     .unionByName(d))
-        val_cols = [c for c in user_cols if c not in keys]
-        picked = rows.groupBy(*keys).agg(
-            F.max_by(F.struct(*val_cols, "_tomb"),
-                     F.struct(F.col("_seq"), F.col("_tomb").cast("int"))).alias("_r"))
-        return (picked.filter(~F.col("_r._tomb"))
-                .select(*[F.col(k) for k in keys],
-                        *[F.col(f"_r.{c}").alias(c) for c in val_cols])
-                .select(*user_cols))
+        if not base:
+            return (self._delta_winners(d, keys)
+                    .filter(~F.col("_tomb")).select(*user_cols))
+        b = self._read_files(spark, base)
+        user_cols = list(b.columns)  # table column order = base order
+        delta_bytes = sum(
+            os.path.getsize(os.path.join(self.dir, f["path"])) for f in delta)
+        if delta_bytes <= self.mor_broadcast_bytes:
+            winners = self._delta_winners(d, keys)
+            survivors = b.join(F.broadcast(winners.select(*keys)), keys, "left_anti")
+            return survivors.unionByName(
+                winners.filter(~F.col("_tomb")).select(*user_cols))
+        rows = (b.withColumn("_seq", F.lit(0).cast("long"))
+                 .withColumn("_tomb", F.lit(False))
+                 .unionByName(d))
+        return (self._delta_winners(rows, keys)
+                .filter(~F.col("_tomb")).select(*user_cols))
 
     def _scan(self, spark: SparkSession, files: list[dict],
               version: int | None) -> DataFrame:

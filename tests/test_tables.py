@@ -267,3 +267,33 @@ def test_mor_time_travel_and_resume_base(spark, tmp_path):
     assert _rows(t.read(spark, version=v2)) == [(1, 1, "a"), (2, 2, "b")]
     assert _rows(t.read(spark, version=v4)) == [
         (1, 1, "a"), (2, 2, "b"), (3, 3, "redo")]
+
+
+def test_mor_read_never_shuffles_base(spark, tmp_path):
+    """The read-side delta application must be the equality-delete plan
+    (base ANTI-JOIN broadcast(delta keys) ∪ delta survivors) — at a
+    10^10-row frontier the base scan must not feed a hash exchange.
+    The over-threshold fallback (full hash reconcile) must produce the
+    identical table."""
+    cat = Catalog(str(tmp_path))
+    t = cat.table("m7", "shard", merge_on_read=True)
+    t.append(spark.range(50_000).select(
+        F.col("id").alias("k"),
+        F.pmod("id", F.lit(8)).cast("int").alias("shard"),
+        F.lit("old").alias("v")))
+    t.merge(spark,
+            spark.createDataFrame([(10, 2, "new"), (50_001, 1, "ins")],
+                                  "k long, shard int, v string"),
+            ["k"],
+            delete_keys=spark.createDataFrame([(18, 2)], "k long, shard int"))
+    fast = t.read(spark)
+    plan = fast._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, \
+        "delta application must broadcast, not shuffle the base"
+    # fallback equivalence: force the hash path
+    t.mor_broadcast_bytes = 0
+    slow = t.read(spark)
+    splan = slow._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" not in splan
+    assert sorted(map(tuple, fast.collect())) == sorted(map(tuple, slow.collect()))
+    assert fast.count() == 50_000  # +1 inserted, -1 deleted
