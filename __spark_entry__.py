@@ -532,6 +532,29 @@ def q41_trap_signals(spark, sf):
                            max_repeat=3).alias("is_trap"))
 
 
+def q42_sessionize(spark, sf):
+    """Gap-based sessionization over the events stream (30-min gap):
+    one row per (user, session) with counts, epoch-micro bounds and an
+    exact integer-cents value sum (double sums would make the value
+    hash order-dependent)."""
+    from hyperion_crawler_spark.operators.sessions import session_stats
+
+    e = _t(spark, sf, "events")
+    return session_stats(e, "user_id", "ts", "event_id",
+                         gap_seconds=1800, value_col="value")
+
+
+def q43_dedup_keep(spark, sf):
+    """End-to-end near-duplicate removal: winnowing pairs →
+    connected-component clusters → keep the min-id representative per
+    cluster plus all unclustered documents."""
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 200) \
+        .select("doc_id", "text")
+    pairs = DD.winnowing_pairs(d, "doc_id", "text", k=8, w=4, min_shared=30)
+    labels = DD.dup_clusters(pairs, iters=4)
+    return DD.keep_cluster_representatives(d, "doc_id", labels).select("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_first_wins_dedup": q01_first_wins_dedup,
@@ -576,6 +599,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q39_dup_clusters": q39_dup_clusters,
         "q40_bm25": q40_bm25,
         "q41_trap_signals": q41_trap_signals,
+        "q42_sessionize": q42_sessionize,
+        "q43_dedup_keep": q43_dedup_keep,
     }
 
 
@@ -1147,6 +1172,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT d3.doc_id,
                    floor(coalesce(s.sc, 0.0) * 1e6 + 0.5) / 1e6 AS score
             FROM d3 LEFT JOIN s USING (doc_id)
+        """,
+        "q42_sessionize": """
+            WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, value FROM events),
+            f AS (
+              SELECT user_id, event_id, us, value,
+                     CASE WHEN lag(us) OVER w IS NULL
+                               OR us - lag(us) OVER w > 1800000000
+                          THEN 1 ELSE 0 END AS brk
+              FROM e
+              WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+            s AS (
+              SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id
+                           ORDER BY us, event_id ROWS UNBOUNDED PRECEDING)
+                         AS BIGINT) AS session_idx
+              FROM f)
+            SELECT user_id, session_idx,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   min(us) AS t_start_us, max(us) AS t_end_us,
+                   max(us) - min(us) AS duration_us,
+                   CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                     AS value_cents
+            FROM s GROUP BY user_id, session_idx
+        """,
+        "q43_dedup_keep": f"""
+            WITH {_winnow_pairs_cte},
+            kept AS (SELECT id1, id2 FROM pairs WHERE n_shared >= 30),
+            e AS (SELECT id1 AS src, id2 AS dst FROM kept
+                  UNION ALL SELECT id2 AS src, id1 AS dst FROM kept),
+            {_cc_iters_cte(4)},
+            reps AS (SELECT min(node) AS doc_id FROM l4 GROUP BY label),
+            labeled AS (SELECT DISTINCT node AS doc_id FROM l4)
+            SELECT d.doc_id FROM d
+            WHERE d.doc_id NOT IN (SELECT doc_id FROM labeled)
+               OR d.doc_id IN (SELECT doc_id FROM reps)
         """,
         "q41_trap_signals": """
             WITH u AS (

@@ -333,3 +333,24 @@ def dup_clusters(pairs: DataFrame, id1: str = "id1", id2: str = "id2",
     edges.unpersist()
     return out.select(F.col("node").alias(node_col),
                       F.col("label").alias(label_col))
+
+
+def keep_cluster_representatives(docs: DataFrame, id_col: str, labels: DataFrame,
+                                 node_col: str = "doc_id",
+                                 label_col: str = "cluster_id") -> DataFrame:
+    """The dedup finisher: given ``dup_clusters`` labels, keep exactly
+    one document per duplicate cluster (the MIN member id — matching
+    first-wins everywhere else in the engine) plus every unclustered
+    document untouched. Composition: pairs → ``dup_clusters`` →
+    this = end-to-end near-duplicate removal.
+
+    Scale shape: the labels table is O(clustered docs) — tiny next to
+    the corpus — so both applications of it (left-anti for the
+    unclustered majority, left-semi for the keepers) broadcast; the
+    corpus never shuffles."""
+    keep_ids = (labels.groupBy(label_col)
+                .agg(F.min(node_col).alias(id_col)).select(id_col))
+    labeled_ids = labels.select(F.col(node_col).alias(id_col))
+    unclustered = docs.join(F.broadcast(labeled_ids), id_col, "left_anti")
+    keepers = docs.join(F.broadcast(keep_ids), id_col, "left_semi")
+    return unclustered.unionByName(keepers)

@@ -1,0 +1,86 @@
+"""Continuous seed/discovery ingestion into the crawl frontier —
+Structured Streaming between crawl rounds.
+
+The batch loop (plans/round.py) discovers URLs by expanding fetched
+pages; real crawls ALSO receive URLs from outside the loop — sitemap
+drops, operator submissions, partner feeds. This stream ingests those
+continuously: new seed parquet files land in a directory →
+``foreachBatch`` canonicalizes + hashes + first-wins-dedups the batch,
+probes/updates the sharded Bloom seen-set, and MERGEs the unseen rows
+into the frontier — the identical operators the bootstrap uses
+(init_frontier), lifted onto a stream. At cluster scale the file
+source swaps for Kafka; nothing else changes.
+
+Exactly-once across BOTH checkpoint systems: Spark's streaming
+checkpoint marks a micro-batch done only after ``foreachBatch``
+returns, and the LAST thing the batch does is fold its new table
+versions into the engine's round log (``commit_round`` on the current
+round index — the same entry ``run_round``'s ``base_versions`` binding
+reads, so an interleaved crawl round builds on the ingested frontier
+instead of orphaning it). A crash between the merges and the
+round-log write replays the batch, and the replay is a no-op by
+construction: every candidate is now seen, so ``probe_and_update``
+emits zero rows and unchanged filters, and the idle merges carry files
+untouched.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import CrawlConfig
+
+SEED_SCHEMA = "url string, image_id string, priority double"
+
+
+def ingest_seed_stream(spark: SparkSession, cat, cfg: CrawlConfig,
+                       seed_dir: str, checkpoint_dir: str) -> dict:
+    """Drain all currently-available seed files (``availableNow``
+    trigger — deterministic for tests; drop the trigger for a
+    continuous daemon) into the frontier. Returns counters."""
+    from ..plans.round import FRONTIER_COLS, _frontier_table, canonical_url_rows
+    from ..state.seen import probe_and_update
+
+    frontier_t = _frontier_table(cat)
+    seen_t = cat.table("seen_filters", "shard")
+    seen_exact_t = cat.table("seen_exact", "shard")
+    totals = {"batches": 0, "new_urls": 0}
+
+    def _batch(df: DataFrame, epoch_id: int) -> None:
+        round_idx = cat.last_round() or 0
+        base = cat.base_versions()
+        cand = canonical_url_rows(
+            df, "url", "image_id", "priority", cfg, [F.col("image_id")])
+        current = seen_t.read(spark, version=base.get("seen_filters"))
+        if current is None:
+            current = spark.createDataFrame(
+                [], "shard int, filter_bytes binary, n_items long")
+        unseen, filters, cache = probe_and_update(cand, current, cfg)
+        rows = (unseen.withColumn("status", F.lit("queued"))
+                .withColumn("retry_count", F.lit(0))
+                .withColumn("next_fetch_ts", F.lit(0).cast("long"))
+                .withColumn("discovered_round", F.lit(round_idx))
+                .select(*FRONTIER_COLS))
+        versions = dict(cat.completed_rounds().get(round_idx, {}))
+        versions["frontier"] = frontier_t.merge(
+            spark, rows, ["urlhash"], base_version=base.get("frontier"))
+        versions["seen_filters"] = seen_t.merge(
+            spark, filters, ["shard"], base_version=base.get("seen_filters"))
+        if cfg.exact_seen_shadow:
+            versions["seen_exact"] = seen_exact_t.append(
+                unseen.select("urlhash", "shard"),
+                base_version=base.get("seen_exact", 0))
+        totals["new_urls"] += rows.count()
+        totals["batches"] += 1
+        cache.unpersist()
+        # durability point: fold into the round log LAST — Spark marks
+        # the micro-batch done only after this returns
+        cat.commit_round(round_idx, versions)
+
+    stream = spark.readStream.schema(SEED_SCHEMA).parquet(seed_dir)
+    q = (stream.writeStream.foreachBatch(_batch)
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return totals

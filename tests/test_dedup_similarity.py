@@ -291,3 +291,15 @@ def test_dup_clusters_handles_release(spark):
     for h in handles:
         h.unpersist()
     assert not any(h.storageLevel.useMemory or h.storageLevel.useDisk for h in handles)
+
+
+def test_keep_cluster_representatives(spark):
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(1, 8)], "doc_id long, text string")
+    labels = spark.createDataFrame(
+        [(2, 2), (5, 2), (6, 6), (7, 6)], "doc_id long, cluster_id long")
+    kept = DD.keep_cluster_representatives(docs, "doc_id", labels)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [1, 2, 3, 4, 6]
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # the corpus must not shuffle
+    assert "Exchange hashpartitioning" not in plan.split("BroadcastHashJoin")[0]

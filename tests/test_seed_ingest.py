@@ -1,0 +1,72 @@
+"""Streaming seed ingestion (streaming/seed_ingest.py): continuous
+frontier feed between crawl rounds, exactly-once across the Spark
+streaming checkpoint AND the engine round log."""
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from hyperion_crawler_spark.config import CrawlConfig
+from hyperion_crawler_spark.sources.tables import Catalog
+from hyperion_crawler_spark.streaming.seed_ingest import ingest_seed_stream
+
+
+def _write_seeds(d, name, urls):
+    os.makedirs(d, exist_ok=True)
+    t = pa.table({
+        "url": pa.array(urls, pa.string()),
+        "image_id": pa.array([f"img{i}" for i in range(len(urls))], pa.string()),
+        "priority": pa.array([0.5] * len(urls), pa.float64()),
+    })
+    pq.write_table(t, os.path.join(d, name))
+
+
+def test_seed_stream_feeds_frontier_incrementally(spark, tmp_path):
+    cfg = CrawlConfig(n_shards=4)
+    cat = Catalog(str(tmp_path / "store"))
+    seeds = str(tmp_path / "seeds")
+    ckpt = str(tmp_path / "ckpt")
+
+    _write_seeds(seeds, "b1.parquet",
+                 ["https://a.com/1", "https://a.com/2", "https://a.com/2#frag"])
+    r1 = ingest_seed_stream(spark, cat, cfg, seeds, ckpt)
+    fr = cat.table("frontier", "shard").read(spark)
+    assert r1["new_urls"] == 2  # #frag canonicalizes onto /2
+    assert fr.count() == 2
+    assert cat.base_versions()["frontier"] >= 1
+
+    # second drop: one dup across batches, one new — only the new lands
+    _write_seeds(seeds, "b2.parquet", ["https://a.com/1", "https://b.com/x"])
+    r2 = ingest_seed_stream(spark, cat, cfg, seeds, ckpt)
+    fr2 = cat.table("frontier", "shard").read(spark)
+    assert r2["new_urls"] == 1
+    assert sorted(r["url"] for r in fr2.select("url").collect()) == [
+        "https://a.com/1", "https://a.com/2", "https://b.com/x"]
+    # re-drain with nothing new: no-op, versions stable
+    v_before = cat.base_versions()
+    r3 = ingest_seed_stream(spark, cat, cfg, seeds, ckpt)
+    assert r3["batches"] == 0 and cat.base_versions() == v_before
+
+
+def test_seed_stream_then_crawl_round_builds_on_it(spark, tmp_path, fixture_dfs, crawl_cfg):
+    """An interleaved crawl round must see the streamed frontier rows
+    (round-log fold), not orphan them."""
+    from hyperion_crawler_spark.plans.round import run_round
+
+    cat = Catalog(str(tmp_path / "store"))
+    seeds = str(tmp_path / "seeds")
+    corpus = fixture_dfs["corpus"]
+    image_id = corpus.select("image_id").first()["image_id"]
+    os.makedirs(seeds, exist_ok=True)
+    t = pa.table({"url": pa.array(["https://h0.example.com/p1"], pa.string()),
+                  "image_id": pa.array([image_id], pa.string()),
+                  "priority": pa.array([0.9], pa.float64())})
+    pq.write_table(t, os.path.join(seeds, "b1.parquet"))
+    ingest_seed_stream(spark, cat, crawl_cfg, seeds, str(tmp_path / "ckpt"))
+
+    links = spark.createDataFrame(
+        [], "src_url string, dst_url string, dst_image_id string, dst_priority double")
+    out = run_round(spark, cat, crawl_cfg, 1, corpus, links, fixture_dfs["robots"])
+    assert out["scheduled"] == 1 and out["fetched"] + out["failed"] == 1
