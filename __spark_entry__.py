@@ -555,6 +555,38 @@ def q43_dedup_keep(spark, sf):
     return DD.keep_cluster_representatives(d, "doc_id", labels).select("doc_id")
 
 
+def q44_sitemap_extract(spark, sf):
+    """Sitemap <loc> extraction over XML payloads synthesized from the
+    part table — the discovery kernel feeding seeds_from_sitemap_xml /
+    the streaming seed ingest."""
+    from hyperion_crawler_spark.functions import sitemaps as SM
+
+    p = _t(spark, sf, "part").filter(F.col("p_partkey") < 2000)
+    host = (F.col("p_partkey") % 40).cast("string")
+    pk = F.col("p_partkey").cast("string")
+    xml = F.concat(
+        F.lit("<urlset><url><loc>https://h"), host, F.lit(".example.com/p/"),
+        pk, F.lit("</loc></url>"),
+        F.when(F.col("p_partkey") % 3 == 0,
+               F.concat(F.lit("<url><loc> https://h"), host,
+                        F.lit(".example.com/extra/"), pk, F.lit(" </loc></url>")))
+         .otherwise(F.lit("")),
+        F.lit("</urlset>"))
+    d = p.select("p_partkey", xml.alias("xml"))
+    return d.select(
+        "p_partkey",
+        F.explode(SM.urls_from_sitemap_xml(F.col("xml"))).alias("url"))
+
+
+def q45_profile(spark, sf):
+    """One-pass per-column numeric profile of lineitem (count, nulls,
+    min/max, exact cents-mean, exact interpolated median)."""
+    from hyperion_crawler_spark.operators.profile import profile_numeric
+
+    li = _t(spark, sf, "lineitem")
+    return profile_numeric(li, ["l_quantity", "l_extendedprice", "l_discount"])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_first_wins_dedup": q01_first_wins_dedup,
@@ -601,6 +633,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q41_trap_signals": q41_trap_signals,
         "q42_sessionize": q42_sessionize,
         "q43_dedup_keep": q43_dedup_keep,
+        "q44_sitemap_extract": q44_sitemap_extract,
+        "q45_profile": q45_profile,
     }
 
 
@@ -1206,6 +1240,54 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id FROM d
             WHERE d.doc_id NOT IN (SELECT doc_id FROM labeled)
                OR d.doc_id IN (SELECT doc_id FROM reps)
+        """,
+        "q44_sitemap_extract": """
+            WITH p AS (SELECT p_partkey FROM part WHERE p_partkey < 2000),
+            x AS (
+              SELECT p_partkey,
+                     '<urlset><url><loc>https://h' || CAST(p_partkey % 40 AS VARCHAR)
+                     || '.example.com/p/' || CAST(p_partkey AS VARCHAR) || '</loc></url>'
+                     || CASE WHEN p_partkey % 3 = 0
+                             THEN '<url><loc> https://h' || CAST(p_partkey % 40 AS VARCHAR)
+                                  || '.example.com/extra/' || CAST(p_partkey AS VARCHAR)
+                                  || ' </loc></url>'
+                             ELSE '' END
+                     || '</urlset>' AS xml
+              FROM p)
+            SELECT p_partkey,
+                   unnest(regexp_extract_all(xml,
+                     '<loc>\\s*([^<\\s][^<]*?)\\s*</loc>', 1)) AS url
+            FROM x
+        """,
+        "q45_profile": """
+            WITH s AS (
+              SELECT 'l_quantity' AS col_name,
+                     CAST(count(l_quantity) AS BIGINT) AS n,
+                     CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+                     min(l_quantity) AS min_v, max(l_quantity) AS max_v,
+                     floor(CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                           / count(l_quantity) / 100.0 * 1e6 + 0.5) / 1e6 AS mean_c,
+                     floor(quantile_cont(l_quantity, 0.5) * 1e6 + 0.5) / 1e6 AS p50
+              FROM lineitem
+              UNION ALL
+              SELECT 'l_extendedprice',
+                     CAST(count(l_extendedprice) AS BIGINT),
+                     CAST(sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                     min(l_extendedprice), max(l_extendedprice),
+                     floor(CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                           / count(l_extendedprice) / 100.0 * 1e6 + 0.5) / 1e6,
+                     floor(quantile_cont(l_extendedprice, 0.5) * 1e6 + 0.5) / 1e6
+              FROM lineitem
+              UNION ALL
+              SELECT 'l_discount',
+                     CAST(count(l_discount) AS BIGINT),
+                     CAST(sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                     min(l_discount), max(l_discount),
+                     floor(CAST(sum(CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                           / count(l_discount) / 100.0 * 1e6 + 0.5) / 1e6,
+                     floor(quantile_cont(l_discount, 0.5) * 1e6 + 0.5) / 1e6
+              FROM lineitem)
+            SELECT * FROM s
         """,
         "q41_trap_signals": """
             WITH u AS (

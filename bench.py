@@ -51,6 +51,13 @@ def main() -> None:
 
     qs = E.queries()
     times: dict[str, float] = {}
+    # one untimed pass first: whole-stage-codegen compilation dominates
+    # a cold first run (q01 measures ~4.8 s cold vs ~1.9 s steady-state
+    # for the identical plan); the 100 TB design point cares about
+    # steady-state throughput. Same disclosed policy as the crawl
+    # warm-up below.
+    for name in BENCH_QUERIES:
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
     for name in BENCH_QUERIES:
         df = qs[name](spark, sf_dir)
         t0 = time.perf_counter()
@@ -88,9 +95,10 @@ def main() -> None:
             "full_round_fetched": full["n_fetched"],
             "full_round_urls_per_sec": round(full["urls_per_sec"]),
             "full_round_timing": full.get("timing", {}),
-            "methodology": "sched round: 200k warm-up pass then best of 2 "
-                           "(JVM codegen warm-up excluded); full round: single "
-                           "run in the warmed JVM",
+            "methodology": "headline queries: one untimed warm-up pass then "
+                           "one timed run (codegen compile excluded); sched "
+                           "round: 200k warm-up pass then best of 2; full "
+                           "round: single run in the warmed JVM",
         },
     }))
     spark.stop()
