@@ -65,7 +65,7 @@ class FileEntry:
 class SnapshotTable:
     def __init__(self, root: str, name: str, partition_col: str | None = None,
                  sort_cols: list | None = None, merge_on_read: bool = False,
-                 compact_after: int = 8):
+                 compact_after: int = 32):
         """``sort_cols``: Column sort expressions applied within each
         data file at write time (Iceberg table sort-order analog) — the
         frontier uses (priority DESC, urlhash ASC) so the priority queue
@@ -93,6 +93,10 @@ class SnapshotTable:
         self.sort_cols = sort_cols
         self.merge_on_read = merge_on_read
         self.compact_after = compact_after
+        # churn-proportional compaction trigger: fold deltas once their
+        # bytes reach this fraction of the base (see _merge_delta). 0
+        # disables, leaving only the commit-count trigger.
+        self.compact_ratio = 0.2
         # broadcast ceiling for the read-side delta application (the
         # Iceberg equality-delete plan); above it _reconcile falls back
         # to the full hash reconcile. Parquet bytes, not rows — on an
@@ -424,7 +428,25 @@ class SnapshotTable:
             e["seq"] = seq
         new_files = files + entries
         n_delta_commits = len({f.get("seq") for f in new_files if f.get("kind") == "delta"})
-        if self.compact_after and n_delta_commits >= self.compact_after:
+
+        def _bytes(fs):
+            return sum(os.path.getsize(os.path.join(self.dir, f["path"])) for f in fs)
+
+        # Two compaction triggers, whichever fires first:
+        # * churn ratio — deltas have grown past ``compact_ratio`` of
+        #   the base, so folding costs ≤ (1 + 1/ratio)× the delta bytes
+        #   already written: TOTAL write amplification stays bounded by
+        #   a constant multiple of actual churn, however big the table.
+        #   (A count-only trigger rewrites a 10^10-row quiet table every
+        #   N tiny merges — amortized O(table/N) per round.)
+        # * commit count — caps read-side delta fan-in (file count and
+        #   reconcile breadth) for tables whose ratio trigger rarely
+        #   fires.
+        base_files = [f for f in new_files if f.get("kind", "base") == "base"]
+        delta_files = [f for f in new_files if f.get("kind") == "delta"]
+        ratio_hit = (self.compact_ratio and base_files
+                     and _bytes(delta_files) >= self.compact_ratio * _bytes(base_files))
+        if ratio_hit or (self.compact_after and n_delta_commits >= self.compact_after):
             folded = self._reconcile(spark, new_files, keys)
             return self._commit(self._write_data(folded), meta)
         return self._commit(new_files, meta, keys=keys)
@@ -518,7 +540,7 @@ class Catalog:
 
     def table(self, name: str, partition_col: str | None = None,
               sort_cols: list | None = None, merge_on_read: bool = False,
-              compact_after: int = 8) -> SnapshotTable:
+              compact_after: int = 32) -> SnapshotTable:
         if name not in self._tables:
             self._tables[name] = SnapshotTable(
                 self.root, name, partition_col, sort_cols,
