@@ -297,3 +297,42 @@ def test_mor_read_never_shuffles_base(spark, tmp_path):
     assert "LeftAnti" not in splan
     assert sorted(map(tuple, fast.collect())) == sorted(map(tuple, slow.collect()))
     assert fast.count() == 50_000  # +1 inserted, -1 deleted
+
+
+def test_mor_random_ops_match_dict_model(spark, tmp_path):
+    """Model-based check: an arbitrary merge/delete/compact sequence on
+    a merge-on-read table must equal a plain dict replay. Deterministic
+    seed; covers same-commit upsert+delete, re-inserts after tombstone,
+    ratio- and count-triggered compaction interleavings."""
+    import random
+
+    rng = random.Random(7)
+    t = Catalog(str(tmp_path)).table("mm", "shard", merge_on_read=True,
+                                     compact_after=4)
+    model: dict[int, str] = {}
+    keyspace = list(range(40))
+
+    def to_df(rows, schema="k int, shard int, v string"):
+        return spark.createDataFrame(rows, schema)
+
+    # seed base
+    base = [(k, k % 8, f"v{k}") for k in keyspace[:20]]
+    t.append(to_df(base))
+    model.update({k: v for k, _, v in base})
+
+    for step in range(12):
+        ups = [(k, k % 8, f"s{step}v{k}")
+               for k in rng.sample(keyspace, rng.randint(0, 5))]
+        dels = [(k, k % 8) for k in rng.sample(keyspace, rng.randint(0, 3))]
+        t.merge(spark, to_df(ups), ["k"],
+                delete_keys=to_df(dels, "k int, shard int") if dels else None)
+        del_set = {k for k, _ in dels}
+        for k, _, v in ups:
+            if k not in del_set:
+                model[k] = v
+        for k in del_set:
+            model.pop(k, None)
+        if step % 5 == 4:
+            t.compact(spark)
+        got = {r["k"]: r["v"] for r in t.read(spark).collect()}
+        assert got == model, f"diverged at step {step}"
