@@ -47,10 +47,20 @@ def main() -> None:
     ap.add_argument("--rescore-every", type=int, default=0,
                     help="every N rounds, re-score frontier priority with "
                          "link-graph PageRank (checkpointed inside the round)")
+    ap.add_argument("--trap-max-depth", type=int, default=0,
+                    help="exclude URLs with more than N path segments (0 = off)")
+    ap.add_argument("--trap-max-params", type=int, default=0,
+                    help="exclude URLs with more than N query params (0 = off)")
+    ap.add_argument("--trap-max-repeat", type=int, default=0,
+                    help="exclude URLs repeating one path segment more than "
+                         "N times — loop/calendar-trap signal (0 = off)")
     args = ap.parse_args()
 
     spark = get_spark(app="hyperion-crawl", master=args.master)
-    cfg = CrawlConfig(n_shards=args.shards, rescore_every=args.rescore_every)
+    cfg = CrawlConfig(n_shards=args.shards, rescore_every=args.rescore_every,
+                      max_url_depth=args.trap_max_depth,
+                      max_query_params=args.trap_max_params,
+                      max_segment_repeat=args.trap_max_repeat)
 
     fixture_dir = args.fixture_dir
     if args.synth_urls:
