@@ -587,6 +587,18 @@ def q45_profile(spark, sf):
     return profile_numeric(li, ["l_quantity", "l_extendedprice", "l_discount"])
 
 
+def q46_update_only(spark, sf):
+    """LoadMode.UPDATE dataflow form: source rows update matching
+    target keys; unmatched source rows are skipped, never inserted."""
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+    target = o.filter(F.col("o_orderkey") % 2 == 0)
+    source = o.filter(F.col("o_orderkey") % 3 == 0) \
+              .withColumn("o_totalprice", _pround(F.col("o_totalprice") * 1.2, 2))
+    out = R.update_only(target, source, ["o_orderkey"])
+    return out.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"), _pround(F.sum("o_totalprice"), 2).alias("sum_total"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_first_wins_dedup": q01_first_wins_dedup,
@@ -635,6 +647,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q43_dedup_keep": q43_dedup_keep,
         "q44_sitemap_extract": q44_sitemap_extract,
         "q45_profile": q45_profile,
+        "q46_update_only": q46_update_only,
     }
 
 
@@ -1206,6 +1219,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT d3.doc_id,
                    floor(coalesce(s.sc, 0.0) * 1e6 + 0.5) / 1e6 AS score
             FROM d3 LEFT JOIN s USING (doc_id)
+        """,
+        "q46_update_only": """
+            WITH target AS (
+              SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 2 = 0),
+            source AS (
+              SELECT o_orderkey, o_orderstatus,
+                     floor(o_totalprice * 1.2 * 100.0 + 0.5) / 100.0 AS o_totalprice
+              FROM orders WHERE o_orderkey % 3 = 0),
+            matched AS (
+              SELECT s.* FROM source s SEMI JOIN target t ON s.o_orderkey = t.o_orderkey),
+            merged AS (
+              SELECT t.* FROM target t ANTI JOIN matched m ON t.o_orderkey = m.o_orderkey
+              UNION ALL SELECT * FROM matched)
+            SELECT o_orderstatus, count(*) AS n,
+                   floor(sum(o_totalprice) * 100.0 + 0.5) / 100.0 AS sum_total
+            FROM merged GROUP BY o_orderstatus
         """,
         "q42_sessionize": """
             WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, value FROM events),

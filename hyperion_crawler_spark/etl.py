@@ -35,7 +35,15 @@ from .sources.tables import Catalog
 
 
 class LoadMode(str, Enum):
-    APPEND = "append"      # reference INSERT/APPEND
+    """Mirror of the reference's five-mode enum
+    (api/src/etl/base/loader.py:15-21)."""
+    APPEND = "append"      # reference APPEND (duplicates allowed)
+    INSERT = "insert"      # reference INSERT: bulk insert, CONFLICT = error
+                           # (krx/loader.py:139-160 — an IntegrityError
+                           # rolls the batch back and raises)
+    UPDATE = "update"      # reference declares it ("업데이트만") but never
+                           # dispatches it (krx/loader.py:69-70 raises) —
+                           # implemented here as update-only-matched
     UPSERT = "upsert"      # reference UPSERT (ON CONFLICT DO UPDATE)
     REPLACE = "replace"    # reference REPLACE (delete partition + insert)
 
@@ -273,11 +281,44 @@ class ETLPipeline:
             table.append(observed)
         elif mode == LoadMode.UPSERT:
             table.merge(self.spark, observed, src.conflict_keys)  # merge persists internally
+        elif mode == LoadMode.INSERT:
+            # reference INSERT: a key conflict is an integrity ERROR
+            # (krx/loader.py:146-158 — the DB raises, the batch rolls
+            # back). The pre-commit probe is one bounded left-semi job;
+            # nothing is written when it trips.
+            existing = table.read(self.spark)
+            if existing is not None:
+                ks = src.conflict_keys
+                conflict = (deduped.join(existing.select(*ks).distinct(),
+                                         ks, "left_semi").limit(1).count())
+                if conflict:
+                    raise ValueError(
+                        f"INSERT conflict on {ks} into {src.target_table}")
+            table.append(observed)
+        elif mode == LoadMode.UPDATE:
+            # update-only-matched: rows whose key is absent are SKIPPED,
+            # never inserted (the enum's "업데이트만" semantics; the
+            # reference declares but never implements this branch).
+            # This branch bypasses the Observation: the observe node
+            # can't sit under the extra semi-join (metrics-row assertion
+            # in Spark 4), and limit(0)/filter(False) narrowings get
+            # optimizer-folded so obs.get would block; loaded = matched
+            # count, mirroring the reference's `updated` counter.
+            existing = table.read(self.spark)
+            if existing is None:
+                n_update = 0
+            else:
+                ks = src.conflict_keys
+                matched = deduped.join(
+                    existing.select(*ks).distinct(), ks, "left_semi").persist()
+                n_update = matched.count()
+                table.merge(self.spark, matched, ks)
+                matched.unpersist()
         elif mode == LoadMode.REPLACE:
             assert src.partition_col, "REPLACE needs a partition column"
             parts = [r[0] for r in observed.select(src.partition_col).distinct().collect()]
             table.overwrite_partitions(self.spark, observed, parts)
-        n_valid = obs.get["loaded"]
+        n_valid = n_update if mode == LoadMode.UPDATE else obs.get["loaded"]
         if getattr(src, "update_latest", False):
             self._update_latest(src, deduped)
         n_quar = quarantine.count() if quarantine is not None else 0

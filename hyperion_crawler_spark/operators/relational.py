@@ -98,6 +98,17 @@ def merge_upsert(target: DataFrame, source: DataFrame, keys: list[str]) -> DataF
     return survivors.select(*target.columns).unionByName(source.select(*target.columns))
 
 
+def update_only(target: DataFrame, source: DataFrame, keys: list[str]) -> DataFrame:
+    """LoadMode.UPDATE — update-only-matched as a dataflow result:
+    source wins on key match, unmatched SOURCE rows are skipped (never
+    inserted), unmatched target rows survive. The mode the reference
+    enum declares ("업데이트만", api/src/etl/base/loader.py:18) but
+    never dispatches; the stateful form lives in ETLPipeline._load."""
+    matched = source.join(target.select(*keys).distinct(), keys, "left_semi")
+    survivors = target.join(matched.select(*keys).distinct(), keys, "left_anti")
+    return survivors.select(*target.columns).unionByName(matched.select(*target.columns))
+
+
 def replace_partition(target: DataFrame, source: DataFrame, part_col: str,
                       part_values: list) -> DataFrame:
     """S7 — REPLACE: delete rows in the given partitions, insert source.

@@ -119,3 +119,43 @@ def test_phase_chain_releases_extract_cache(spark, tmp_path):
     assert not (raw.storageLevel.useMemory or raw.storageLevel.useDisk), \
         "extract cache must be released after the load commits"
     assert p._pinned == {}
+
+
+def test_insert_mode_clean_then_conflict(spark, tmp_path):
+    # reference INSERT: bulk insert; a key conflict is an ERROR and
+    # nothing is written (krx/loader.py:139-160 IntegrityError rollback)
+    import pytest
+
+    p = _pipeline(spark, tmp_path)
+    p.run_full_pipeline("market", {"trade_date": "2024-01-05"}, mode=LoadMode.INSERT)
+    t = p.cat.table("market_daily_prices", None)
+    assert t.read(spark).count() == 60
+    v_before = t.current_version()
+    with pytest.raises(ValueError, match="INSERT conflict"):
+        p.run_full_pipeline("market", {"trade_date": "2024-01-05"},
+                            mode=LoadMode.INSERT)
+    assert t.current_version() == v_before  # rollback: no new snapshot
+    # a non-overlapping date inserts fine
+    p.run_full_pipeline("market", {"trade_date": "2024-01-08"}, mode=LoadMode.INSERT)
+    assert t.read(spark).count() == 120
+
+
+def test_update_mode_only_touches_matched(spark, tmp_path):
+    p = _pipeline(spark, tmp_path)
+    # UPDATE into an empty table: loads nothing, creates nothing
+    res0 = p.run_full_pipeline("market", {"trade_date": "2024-01-05"},
+                               mode=LoadMode.UPDATE)
+    assert res0.loaded == 0
+    assert p.cat.table("market_daily_prices", None).read(spark) is None
+    # seed day 1, then UPDATE with day-2 params: same (uuid, trade_date)
+    # conflict keys never match a different date → still nothing new
+    p.run_full_pipeline("market", {"trade_date": "2024-01-05"})
+    before = p.cat.table("market_daily_prices", None).read(spark).count()
+    p.run_full_pipeline("market", {"trade_date": "2024-01-08"}, mode=LoadMode.UPDATE)
+    t = p.cat.table("market_daily_prices", None).read(spark)
+    assert t.count() == before  # no inserts in UPDATE mode
+    days = {r[0].isoformat() for r in t.select("trade_date").distinct().collect()}
+    assert days == {"2024-01-05"}
+    # UPDATE with matching keys rewrites the matched rows in place
+    p.run_full_pipeline("market", {"trade_date": "2024-01-05"}, mode=LoadMode.UPDATE)
+    assert p.cat.table("market_daily_prices", None).read(spark).count() == before
