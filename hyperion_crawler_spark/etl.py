@@ -251,6 +251,19 @@ class ETLPipeline:
     def _load(self, source_name: str, valid: DataFrame,
               quarantine: DataFrame | None, mode: LoadMode | None,
               params: dict) -> LoadResult:
+        """Exception-safe wrapper: the extract-phase caches recorded in
+        ``_pinned`` are released even when the load fails (e.g. an
+        INSERT conflict raising mid-commit) — a long-lived session that
+        catches per-batch errors must not accumulate pinned frames."""
+        try:
+            return self._load_inner(source_name, valid, quarantine, mode, params)
+        finally:
+            for df in self._pinned.pop(source_name, []):
+                df.unpersist()
+
+    def _load_inner(self, source_name: str, valid: DataFrame,
+                    quarantine: DataFrame | None, mode: LoadMode | None,
+                    params: dict) -> LoadResult:
         import time
 
         t0 = time.perf_counter()
@@ -303,29 +316,41 @@ class ETLPipeline:
             # can't sit under the extra semi-join (metrics-row assertion
             # in Spark 4), and limit(0)/filter(False) narrowings get
             # optimizer-folded so obs.get would block; loaded = matched
-            # count, mirroring the reference's `updated` counter.
+            # count (the reference's `updated` counter), skipped = the
+            # unmatched remainder so success_rate sees the drops.
             existing = table.read(self.spark)
+            deduped = deduped.persist()
+            n_total = deduped.count()
             if existing is None:
                 n_update = 0
             else:
                 ks = src.conflict_keys
-                matched = deduped.join(
+                written = deduped.join(
                     existing.select(*ks).distinct(), ks, "left_semi").persist()
-                n_update = matched.count()
-                table.merge(self.spark, matched, ks)
-                matched.unpersist()
+                n_update = written.count()
+                table.merge(self.spark, written, ks)
+            n_skip = n_total - n_update
         elif mode == LoadMode.REPLACE:
             assert src.partition_col, "REPLACE needs a partition column"
             parts = [r[0] for r in observed.select(src.partition_col).distinct().collect()]
             table.overwrite_partitions(self.spark, observed, parts)
         n_valid = n_update if mode == LoadMode.UPDATE else obs.get["loaded"]
-        if getattr(src, "update_latest", False):
-            self._update_latest(src, deduped)
+        n_skip = n_skip if mode == LoadMode.UPDATE else 0
+        if getattr(src, "update_latest", False) and (
+                mode != LoadMode.UPDATE or n_update):
+            # the latest slice must describe rows actually WRITTEN: in
+            # UPDATE mode unmatched (skipped) rows never reach the
+            # target and must not reach the side table either
+            self._update_latest(src, written if mode == LoadMode.UPDATE else deduped)
+        if mode == LoadMode.UPDATE:
+            deduped.unpersist()
+            if existing is not None:
+                written.unpersist()
         n_quar = quarantine.count() if quarantine is not None else 0
         # quarantine table mirrors drop-with-warning (transformer.py:86-89)
         if n_quar:
             self.cat.table(f"{src.target_table}_quarantine", None).append(quarantine)
-        result = LoadResult(loaded=n_valid, failed=n_quar)
+        result = LoadResult(loaded=n_valid, skipped=n_skip, failed=n_quar)
         # data-quality gate: the reference declares success-rate ≥ 0.95
         # as a monitoring alert (etl_config.yaml:38-43) but nothing
         # consumes it; here the verdict is recorded per run in the
@@ -351,8 +376,6 @@ class ETLPipeline:
             "task_id string, source string, status string, loaded long, "
             "failed long, success_rate double, threshold double, "
             "execution_time double, latency_threshold double"))
-        for df in self._pinned.pop(source_name, []):
-            df.unpersist()  # end of the phase chain — release extract caches
         return result
 
     def _update_latest(self, src, batch: DataFrame) -> None:
@@ -361,7 +384,11 @@ class ETLPipeline:
         ALL loads — the reference's _update_latest_prices side table
         (krx/loader.py:224-235). Out-of-order loads can't regress the
         slice: the incoming batch competes against the existing row for
-        each touched key and the newest wins. Writes O(batch)."""
+        each touched key and the newest wins; on an EQUAL order value
+        the incoming batch wins deterministically (a same-date re-load
+        carries corrections — the reference's upsert overwrites too;
+        without the explicit tiebreak the window pick would be
+        partition-order-dependent). Writes O(batch)."""
         from .operators.relational import latest_per_key
 
         lk = list(src.latest_keys)
@@ -371,6 +398,9 @@ class ETLPipeline:
         existing = latest_t.read(self.spark)
         if existing is not None:
             touched = existing.join(cand.select(*lk).distinct(), lk, "left_semi")
-            cand = latest_per_key(
-                cand.unionByName(touched.select(*cand.columns)), lk, oc, [])
+            both = (cand.withColumn("_new", F.lit(0))
+                    .unionByName(touched.select(*cand.columns)
+                                 .withColumn("_new", F.lit(1))))
+            cand = latest_per_key(both, lk, oc,
+                                  [F.col("_new").asc()]).drop("_new")
         latest_t.merge(self.spark, cand, lk)

@@ -286,10 +286,23 @@ def run_round(spark: SparkSession, cat, cfg: CrawlConfig, round_idx: int,
         # history: the round-2 verdict's unbounded
         # `results_t.read(all rounds)` scan per rescore is gone.
         fetched_srcs_t = cat.table("fetched_srcs", "round")
+        fetched_now = fetched.select(F.col("url").alias("src_url"),
+                                     F.lit(round_idx).alias("round"))
+        if base.get("fetched_srcs", 0) == 0 and base.get("results", 0) > 0:
+            # rescoring enabled MID-CRAWL on a store with history but no
+            # fetched_srcs table: backfill once from the results history
+            # so earlier rounds' fetched URLs stay in the link graph
+            # (without this, known_links would silently shrink to the
+            # rounds since the flag was flipped). One bounded scan, only
+            # on the first rescore-enabled round; every later round is
+            # incremental again.
+            prev = results_t.read(spark, version=base.get("results", 0))
+            if prev is not None:
+                fetched_now = (prev.filter(F.col("status") == "fetched")
+                               .select(F.col("url").alias("src_url"), "round")
+                               .unionByName(fetched_now))
         versions["fetched_srcs"] = fetched_srcs_t.append(
-            fetched.select(F.col("url").alias("src_url"),
-                           F.lit(round_idx).alias("round")),
-            base_version=base.get("fetched_srcs", 0))
+            fetched_now, base_version=base.get("fetched_srcs", 0))
     if cfg.rescore_every and round_idx % cfg.rescore_every == 0:
         # PageRank priority re-scoring over the ENGINE-KNOWN link graph
         # (edges whose src this crawl has fetched). Committed as part of

@@ -192,7 +192,14 @@ class SnapshotTable:
         return not self._live_files()
 
     def _read_files(self, spark: SparkSession, files: list[dict]) -> DataFrame:
-        return spark.read.parquet(*[os.path.join(self.dir, f["path"]) for f in files])
+        # mergeSchema: a table whose writer gained columns (e.g. the
+        # lineage tables' execution_time) holds mixed-width parquet in
+        # one snapshot; without it Spark takes an arbitrary file's
+        # schema and the new columns nondeterministically vanish or
+        # fail to resolve. Iceberg carries the schema in table metadata
+        # instead; footer-merging is this store's sandbox analog.
+        return spark.read.option("mergeSchema", "true").parquet(
+            *[os.path.join(self.dir, f["path"]) for f in files])
 
     def _delta_winners(self, d: DataFrame, keys: list[str]) -> DataFrame:
         """Newest row per key among DELTA rows only (tombstone beats
@@ -289,8 +296,20 @@ class SnapshotTable:
         """Append on top of ``base_version`` (default: current). A round
         that redoes work after a mid-round crash passes the last
         CHECKPOINTED version so the crashed attempt's uncheckpointed
-        snapshot files are orphaned, not compounded."""
-        return self._commit(self._live_files(base_version) + self._write_data(df), meta)
+        snapshot files are orphaned, not compounded.
+
+        Appended rows have no merge identity, so on a merge-on-read
+        table they are written as BASE files (implicit ``_seq=0``);
+        live delta files are carried and the manifest keeps their
+        reconcile keys — dropping them would make ``read`` crash, and a
+        reader must still apply the tombstones to the pre-existing
+        base."""
+        files = self._live_files(base_version)
+        keys = None
+        if any(f.get("kind") == "delta" for f in files):
+            ver = base_version if base_version is not None else self.current_version()
+            keys = self._manifest(ver)["keys"]
+        return self._commit(files + self._write_data(df), meta, keys=keys)
 
     def overwrite(self, df: DataFrame, meta: dict | None = None) -> int:
         return self._commit(self._write_data(df), meta)
@@ -298,12 +317,19 @@ class SnapshotTable:
     def overwrite_partitions(self, spark: SparkSession, df: DataFrame, part_values: list[int],
                              meta: dict | None = None) -> int:
         """REPLACE semantics on the partition column (reference:
-        DELETE WHERE key IN (...) then insert — krx/loader.py:163-176)."""
+        DELETE WHERE key IN (...) then insert — krx/loader.py:163-176).
+
+        On a delta-carrying merge-on-read table the deltas are folded
+        first (``compact``): partition overwrite reasons about BASE
+        files only — rewriting raw delta rows as base files would
+        resurrect tombstoned keys and leak ``_seq``/``_tomb`` columns."""
         assert self.partition_col is not None
+        if any(f.get("kind") == "delta" for f in self._live_files()):
+            self.compact(spark)
         keep, rewrite = self._prune(part_values)
         carried = keep
         if rewrite:
-            old = spark.read.parquet(*[os.path.join(self.dir, f["path"]) for f in rewrite])
+            old = self._read_files(spark, rewrite)
             residual = old.filter(~F.col(self.partition_col).isin(part_values))
             carried = keep + self._write_data(residual)
         return self._commit(carried + self._write_data(df), meta)

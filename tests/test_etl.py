@@ -159,3 +159,44 @@ def test_update_mode_only_touches_matched(spark, tmp_path):
     # UPDATE with matching keys rewrites the matched rows in place
     p.run_full_pipeline("market", {"trade_date": "2024-01-05"}, mode=LoadMode.UPDATE)
     assert p.cat.table("market_daily_prices", None).read(spark).count() == before
+
+
+def test_update_mode_counts_skipped_and_trips_quality_gate(spark, tmp_path):
+    p = _pipeline(spark, tmp_path)
+    p.run_full_pipeline("market", {"trade_date": "2024-01-05"})
+    # UPDATE against a disjoint date: every row is skipped
+    res = p.run_full_pipeline("market", {"trade_date": "2024-01-08"},
+                              mode=LoadMode.UPDATE)
+    assert res.loaded == 0 and res.skipped == 60
+    assert res.success_rate == 0.0 and not res.quality_ok
+    assert p.cat.table("etl_lineage", None).read(spark) \
+        .filter("status = 'quality_failed'").count() == 1
+
+
+def test_insert_conflict_releases_pinned_extract(spark, tmp_path):
+    import pytest
+
+    p = _pipeline(spark, tmp_path)
+    p.run_full_pipeline("market", {"trade_date": "2024-01-05"})
+    env = p.extract_data("market", {"trade_date": "2024-01-05"})
+    tr = p.transform_data("market", env["data"])
+    with pytest.raises(ValueError, match="INSERT conflict"):
+        p.load_data("market", tr["data"], tr["quarantine"], mode=LoadMode.INSERT)
+    assert p._pinned == {}, "failed load must still release extract caches"
+    assert not (env["data"].storageLevel.useMemory or env["data"].storageLevel.useDisk)
+
+
+def test_update_latest_same_order_value_new_batch_wins(spark, tmp_path):
+    """A same-date re-load carries corrections: on an equal order value
+    the incoming batch must win deterministically."""
+    from types import SimpleNamespace
+
+    p = ETLPipeline(spark, str(tmp_path))
+    src = SimpleNamespace(target_table="prices", latest_keys=["uuid"],
+                          latest_order_col="d")
+    b1 = spark.createDataFrame([("u1", "2024-01-05", 10.0)], "uuid string, d string, v double")
+    b2 = spark.createDataFrame([("u1", "2024-01-05", 99.0)], "uuid string, d string, v double")
+    p._update_latest(src, b1)
+    p._update_latest(src, b2)
+    got = p.cat.table("prices_latest", None).read(spark).collect()
+    assert len(got) == 1 and got[0]["v"] == 99.0

@@ -143,3 +143,31 @@ def test_pagerank_empty_graph_leaves_no_handles(spark):
     handles = []
     out = pagerank(links, handles=handles)
     assert out.count() == 0 and handles == []
+
+
+def test_rescore_enabled_midcrawl_backfills_fetched_srcs(
+        spark, fixture_dfs, crawl_cfg, tmp_path_factory):
+    """Flipping --rescore-every on an existing crawl must not shrink the
+    link graph to post-flip rounds: the first rescore-enabled round
+    backfills fetched_srcs from the results history."""
+    from dataclasses import replace
+
+    from hyperion_crawler_spark.plans.loop import run_crawl
+    from hyperion_crawler_spark.sources.tables import Catalog
+
+    kw = dict(corpus=fixture_dfs["corpus"], links=fixture_dfs["links"],
+              robots=fixture_dfs["robots"], seeds=fixture_dfs["seeds"])
+    store = str(tmp_path_factory.mktemp("mid"))
+    run_crawl(spark, store, crawl_cfg, n_rounds=2, **kw)          # no rescore
+    cfg_r = replace(crawl_cfg, rescore_every=2)
+    run_crawl(spark, store, cfg_r, n_rounds=4, **kw)              # flip it on
+    cat = Catalog(store)
+    fs = cat.table("fetched_srcs", "round").read(spark)
+    res = cat.table("results", "round").read(spark)
+    fetched_by_round = {r["round"]: r["n"] for r in
+                        res.filter(F.col("status") == "fetched")
+                        .groupBy("round").agg(F.count("*").alias("n")).collect()}
+    got_by_round = {r["round"]: r["n"] for r in
+                    fs.groupBy("round").agg(F.count("*").alias("n")).collect()}
+    assert got_by_round == fetched_by_round, \
+        "fetched_srcs must cover ALL rounds incl. pre-flip history"

@@ -336,3 +336,35 @@ def test_mor_random_ops_match_dict_model(spark, tmp_path):
             t.compact(spark)
         got = {r["k"]: r["v"] for r in t.read(spark).collect()}
         assert got == model, f"diverged at step {step}"
+
+
+def test_mor_append_after_deltas_read_ok(spark, tmp_path):
+    """append on a delta-carrying MoR table must keep the reconcile
+    keys in the manifest (read crashed with KeyError before) and the
+    tombstones must still apply to the pre-existing base."""
+    t = Catalog(str(tmp_path)).table("ma", "shard", merge_on_read=True)
+    t.compact_ratio = 0  # keep deltas live so append really sees them
+    t.append(spark.createDataFrame(
+        [(1, 1, "a"), (2, 2, "b")], "k int, shard int, v string"))
+    t.merge(spark, spark.createDataFrame([(3, 3, "c")], "k int, shard int, v string"),
+            ["k"], delete_keys=spark.createDataFrame([(2, 2)], "k int, shard int"))
+    t.append(spark.createDataFrame([(10, 2, "x")], "k int, shard int, v string"))
+    got = _rows(t.read(spark))
+    assert got == [(1, 1, "a"), (3, 3, "c"), (10, 2, "x")]
+    assert "keys" in t._manifest(t.current_version())
+
+
+def test_mor_overwrite_partitions_folds_deltas_first(spark, tmp_path):
+    """partition overwrite on a delta-carrying table must not resurrect
+    tombstoned keys or leak _seq/_tomb columns."""
+    t = Catalog(str(tmp_path)).table("mo", "shard", merge_on_read=True)
+    t.compact_ratio = 0  # keep deltas live so the overwrite sees them
+    t.append(spark.createDataFrame(
+        [(1, 1, "a"), (2, 2, "b"), (9, 1, "z")], "k int, shard int, v string"))
+    t.merge(spark, spark.createDataFrame([(3, 2, "c")], "k int, shard int, v string"),
+            ["k"], delete_keys=spark.createDataFrame([(9, 1)], "k int, shard int"))
+    t.overwrite_partitions(
+        spark, spark.createDataFrame([(5, 2, "NEW")], "k int, shard int, v string"), [2])
+    out = t.read(spark)
+    assert set(out.columns) == {"k", "shard", "v"}
+    assert _rows(out) == [(1, 1, "a"), (5, 2, "NEW")]  # 9 stays dead; shard-2 replaced
