@@ -599,6 +599,61 @@ def q46_update_only(spark, sf):
         F.count("*").alias("n"), _pround(F.sum("o_totalprice"), 2).alias("sum_total"))
 
 
+def q47_asof_join(spark, sf):
+    """As-of join (kdb aj / DuckDB ASOF): every click event gains the
+    newest view event at-or-before it for the same user — one shuffle +
+    one sort, never a per-key inequality nested loop. The DuckDB oracle
+    is a NATIVE ASOF LEFT JOIN."""
+    from hyperion_crawler_spark.operators.temporal import asof_join
+
+    e = _t(spark, sf, "events").select(
+        "event_id", "user_id", "event_type", "value",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"))
+    clicks = e.filter(F.col("event_type") == "click") \
+              .select("event_id", "user_id", "us", "value")
+    views = e.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_event"), F.col("user_id"),
+        F.col("us"), F.col("value").alias("view_value"))
+    return asof_join(clicks, views, "user_id", "us",
+                     right_cols=["view_value", "view_event"])
+
+
+def q48_grouping_sets(spark, sf):
+    """OLAP GROUPING SETS with grouping flags (subtotal + grand-total
+    rows distinguished from genuine NULL groups)."""
+    _t(spark, sf, "lineitem").createOrReplaceTempView("li_gs")
+    return spark.sql("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping(l_returnflag) AS INT) AS g_rf,
+               CAST(grouping(l_linestatus) AS INT) AS g_ls,
+               count(*) AS n,
+               -- 1e2, not 100.0: Spark SQL parses plain decimal
+               -- literals as DECIMAL and the whole expression (and its
+               -- arrow dtype) would go decimal; scientific notation is
+               -- DOUBLE in both engines
+               floor(sum(l_quantity) * 1e2 + 0.5) / 1e2 AS sum_qty
+        FROM li_gs
+        GROUP BY l_returnflag, l_linestatus
+          GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """)
+
+
+PIVOT_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+def q49_pivot(spark, sf):
+    """Pivot: order counts per status × priority (fixed value list —
+    deterministic columns; absent combinations coalesce to 0 to match
+    the SQL conditional-aggregation mirror)."""
+    o = _t(spark, sf, "orders")
+    p = o.groupBy("o_orderstatus").pivot("o_orderpriority", PIVOT_PRIORITIES) \
+         .agg(F.count(F.lit(1)))
+    return p.select(
+        "o_orderstatus",
+        *[F.coalesce(F.col(f"`{v}`"), F.lit(0).cast("long")).alias(v)
+          for v in PIVOT_PRIORITIES])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_first_wins_dedup": q01_first_wins_dedup,
@@ -648,6 +703,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q44_sitemap_extract": q44_sitemap_extract,
         "q45_profile": q45_profile,
         "q46_update_only": q46_update_only,
+        "q47_asof_join": q47_asof_join,
+        "q48_grouping_sets": q48_grouping_sets,
+        "q49_pivot": q49_pivot,
     }
 
 
@@ -1219,6 +1277,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT d3.doc_id,
                    floor(coalesce(s.sc, 0.0) * 1e6 + 0.5) / 1e6 AS score
             FROM d3 LEFT JOIN s USING (doc_id)
+        """,
+        "q47_asof_join": """
+            WITH e AS (SELECT event_id, user_id, event_type, value,
+                              epoch_us(ts) AS us FROM events),
+            c AS (SELECT event_id, user_id, us, value FROM e
+                  WHERE event_type = 'click'),
+            v AS (SELECT event_id AS view_event, user_id, us,
+                         value AS view_value FROM e
+                  WHERE event_type = 'view')
+            SELECT c.event_id, c.user_id, c.us, c.value,
+                   v.view_value, v.view_event
+            FROM c ASOF LEFT JOIN v
+              ON c.user_id = v.user_id AND c.us >= v.us
+        """,
+        "q48_grouping_sets": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(grouping(l_returnflag) AS INTEGER) AS g_rf,
+                   CAST(grouping(l_linestatus) AS INTEGER) AS g_ls,
+                   CAST(count(*) AS BIGINT) AS n,
+                   floor(sum(l_quantity) * 100.0 + 0.5) / 100.0 AS sum_qty
+            FROM lineitem
+            GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                    (l_returnflag), ())
+        """,
+        "q49_pivot": """
+            SELECT o_orderstatus,
+                   CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS "1-URGENT",
+                   CAST(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS "2-HIGH",
+                   CAST(sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS "3-MEDIUM",
+                   CAST(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS "4-NOT SPECIFIED",
+                   CAST(sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS "5-LOW"
+            FROM orders GROUP BY o_orderstatus
         """,
         "q46_update_only": """
             WITH target AS (
