@@ -70,3 +70,26 @@ def test_seed_stream_then_crawl_round_builds_on_it(spark, tmp_path, fixture_dfs,
         [], "src_url string, dst_url string, dst_image_id string, dst_priority double")
     out = run_round(spark, cat, crawl_cfg, 1, corpus, links, fixture_dfs["robots"])
     assert out["scheduled"] == 1 and out["fetched"] + out["failed"] == 1
+
+
+def test_seed_stream_replay_is_idempotent(spark, tmp_path):
+    """Crash-replay contract: if Spark's streaming checkpoint is lost
+    (or a batch replays after the engine commits), re-processing every
+    seed file must change NOTHING — the Bloom seen-set turns replays
+    into no-ops."""
+    import shutil
+
+    cfg = CrawlConfig(n_shards=4)
+    cat = Catalog(str(tmp_path / "store"))
+    seeds = str(tmp_path / "seeds")
+    ckpt = str(tmp_path / "ckpt")
+    _write_seeds(seeds, "b1.parquet", ["https://a.com/1", "https://a.com/2"])
+    ingest_seed_stream(spark, cat, cfg, seeds, ckpt)
+    fr_before = sorted(r["url"] for r in
+                       cat.table("frontier", "shard").read(spark).collect())
+    shutil.rmtree(ckpt)  # lose the streaming checkpoint → full replay
+    out = ingest_seed_stream(spark, cat, cfg, seeds, str(tmp_path / "ckpt2"))
+    assert out["new_urls"] == 0
+    fr_after = sorted(r["url"] for r in
+                      cat.table("frontier", "shard").read(spark).collect())
+    assert fr_after == fr_before
