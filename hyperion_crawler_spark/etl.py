@@ -320,6 +320,7 @@ class ETLPipeline:
             # unmatched remainder so success_rate sees the drops.
             existing = table.read(self.spark)
             deduped = deduped.persist()
+            self._pinned.setdefault(source_name, []).append(deduped)
             n_total = deduped.count()
             if existing is None:
                 n_update = 0
@@ -327,6 +328,9 @@ class ETLPipeline:
                 ks = src.conflict_keys
                 written = deduped.join(
                     existing.select(*ks).distinct(), ks, "left_semi").persist()
+                # registered in _pinned so the _load wrapper's finally
+                # releases them even when a later step raises
+                self._pinned.setdefault(source_name, []).append(written)
                 n_update = written.count()
                 table.merge(self.spark, written, ks)
             n_skip = n_total - n_update
@@ -342,10 +346,7 @@ class ETLPipeline:
             # UPDATE mode unmatched (skipped) rows never reach the
             # target and must not reach the side table either
             self._update_latest(src, written if mode == LoadMode.UPDATE else deduped)
-        if mode == LoadMode.UPDATE:
-            deduped.unpersist()
-            if existing is not None:
-                written.unpersist()
+
         n_quar = quarantine.count() if quarantine is not None else 0
         # quarantine table mirrors drop-with-warning (transformer.py:86-89)
         if n_quar:
@@ -368,13 +369,13 @@ class ETLPipeline:
                   else "latency_exceeded" if not result.latency_ok
                   else "success")
         task_id = f"{source_name}_load_{self._task_suffix(params)}"
-        self.cat.table("etl_lineage", None).append(self.spark.createDataFrame(
-            [(task_id, source_name, status, n_valid, n_quar,
+        self.cat.table("etl_lineage", None, schema_evolving=True).append(self.spark.createDataFrame(
+            [(task_id, source_name, status, n_valid, n_skip, n_quar,
               float(result.success_rate), float(threshold),
               float(result.execution_time),
               float(lat_threshold) if lat_threshold is not None else None)],
             "task_id string, source string, status string, loaded long, "
-            "failed long, success_rate double, threshold double, "
+            "skipped long, failed long, success_rate double, threshold double, "
             "execution_time double, latency_threshold double"))
         return result
 

@@ -295,23 +295,23 @@ def dup_clusters(pairs: DataFrame, id1: str = "id1", id2: str = "id2",
     The symmetric edge list is persisted once and reused every
     iteration.
 
-    ``handles``: as in ``graph.pagerank`` — in fixed-``iters`` mode pass
-    a list to persist the edge list and receive the handle (unpersist
-    after materializing); without it the edge list is simply not
-    cached, trading recompute for zero leaked storage (converged mode
-    checkpoints eagerly and releases its cache itself).
+    ``handles``: as in ``graph.pagerank`` — in fixed-``iters`` mode the
+    returned plan still references the persisted edge list; pass a list
+    to receive the handle and unpersist after materializing (converged
+    mode checkpoints eagerly and releases its cache itself).
     """
     edges = (pairs.select(F.col(id1).alias("src"), F.col(id2).alias("dst"))
              .unionByName(pairs.select(F.col(id2).alias("src"),
                                        F.col(id1).alias("dst"))))
-    # Persist only when someone can release it: converged mode owns the
-    # cache itself (unpersisted below before returning checkpointed
-    # labels); fixed-iters mode persists ONLY if the caller passed a
-    # ``handles`` list to unpersist after materializing — otherwise the
-    # edge list is recomputed per iteration (cheap projection) instead
-    # of leaking a pinned cache per call.
-    if iters is None or handles is not None:
-        edges = edges.persist()
+    # Always persisted: the returned plan references the edge subtree
+    # once for the label init plus once per iteration, and the pairs
+    # pipeline feeding it (LSH / winnowing joins) is expensive —
+    # recomputing it per reference would dwarf the cache cost.
+    # Converged mode releases the cache itself below; fixed-iters
+    # callers pass ``handles`` to unpersist after materializing, and a
+    # one-shot caller that doesn't is reclaimed by ContextCleaner once
+    # the plan is GC'd.
+    edges = edges.persist()
     labels = (edges.select(F.col("src").alias("node")).distinct()
               .select("node", F.col("node").alias("label")))
 

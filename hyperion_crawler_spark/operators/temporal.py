@@ -43,6 +43,13 @@ def asof_join(left: DataFrame, right: DataFrame, key: str, ts: str,
     carried columns — every run and engine picks the same winner.
     """
     rc = right_cols or [c for c in right.columns if c not in (key, ts)]
+    # NULL keys never match under join semantics (and DuckDB ASOF), but
+    # Window.partitionBy groups nulls together and would hand null-key
+    # left rows a carried match — split them out and re-attach with
+    # null right columns at the end
+    l_null = left.filter(F.col(key).isNull())
+    left = left.filter(F.col(key).isNotNull())
+    right = right.filter(F.col(key).isNotNull())
     r_tag = right.select(
         F.col(key), F.col(ts).cast("long").alias("_ts"), F.lit(0).alias("_side"),
         F.struct(F.col(ts).cast("long").alias("_rts"),
@@ -67,9 +74,14 @@ def asof_join(left: DataFrame, right: DataFrame, key: str, ts: str,
             "_rlast",
             F.when(F.col("_rlast._rts") >= F.col("_ts") - F.lit(tolerance),
                    F.col("_rlast")))
-    return out.select(
+    matched = out.select(
         *[F.col(f"_lrow.{c}").alias(c) for c in left.columns],
         *[F.col(f"_rlast.{c}").alias(c) for c in rc])
+    r_struct = F.lit(None).cast(r_tag.schema["_r"].dataType)
+    unmatched = l_null.select(
+        *left.columns,
+        *[r_struct.getField(c).alias(c) for c in rc])
+    return matched.unionByName(unmatched)
 
 
 def range_join(points: DataFrame, intervals: DataFrame, key: str,

@@ -138,7 +138,7 @@ def run_round(spark: SparkSession, cat, cfg: CrawlConfig, round_idx: int,
     seen_t = cat.table("seen_filters", "shard")
     seen_exact_t = cat.table("seen_exact", "shard")
     results_t = cat.table("results", "round")
-    lineage_t = cat.table("lineage", "round")
+    lineage_t = cat.table("lineage", "round", schema_evolving=True)
 
     timing: dict[str, float] = {}
 
@@ -288,21 +288,25 @@ def run_round(spark: SparkSession, cat, cfg: CrawlConfig, round_idx: int,
         fetched_srcs_t = cat.table("fetched_srcs", "round")
         fetched_now = fetched.select(F.col("url").alias("src_url"),
                                      F.lit(round_idx).alias("round"))
-        if base.get("fetched_srcs", 0) == 0 and base.get("results", 0) > 0:
-            # rescoring enabled MID-CRAWL on a store with history but no
-            # fetched_srcs table: backfill once from the results history
-            # so earlier rounds' fetched URLs stay in the link graph
-            # (without this, known_links would silently shrink to the
-            # rounds since the flag was flipped). One bounded scan, only
-            # on the first rescore-enabled round; every later round is
-            # incremental again.
+        # coverage watermark: each append records the highest round it
+        # covers in the manifest meta. If rescoring was disabled for
+        # any earlier span (enabled mid-crawl, OR toggled off and on
+        # again), the gap between the watermark and this round is
+        # backfilled once from the results history — otherwise
+        # known_links would silently lose those rounds' fetched URLs.
+        fs_ver = base.get("fetched_srcs", 0)
+        covered = 0
+        if fs_ver:
+            covered = fetched_srcs_t._manifest(fs_ver).get("meta", {})                 .get("upto_round", 0)
+        if covered < round_idx - 1 and base.get("results", 0) > 0:
             prev = results_t.read(spark, version=base.get("results", 0))
             if prev is not None:
-                fetched_now = (prev.filter(F.col("status") == "fetched")
+                fetched_now = (prev.filter((F.col("status") == "fetched")
+                                           & (F.col("round") > covered))
                                .select(F.col("url").alias("src_url"), "round")
                                .unionByName(fetched_now))
         versions["fetched_srcs"] = fetched_srcs_t.append(
-            fetched_now, base_version=base.get("fetched_srcs", 0))
+            fetched_now, meta={"upto_round": round_idx}, base_version=fs_ver)
     if cfg.rescore_every and round_idx % cfg.rescore_every == 0:
         # PageRank priority re-scoring over the ENGINE-KNOWN link graph
         # (edges whose src this crawl has fetched). Committed as part of

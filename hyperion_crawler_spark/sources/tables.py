@@ -65,7 +65,7 @@ class FileEntry:
 class SnapshotTable:
     def __init__(self, root: str, name: str, partition_col: str | None = None,
                  sort_cols: list | None = None, merge_on_read: bool = False,
-                 compact_after: int = 32):
+                 compact_after: int = 32, schema_evolving: bool = False):
         """``sort_cols``: Column sort expressions applied within each
         data file at write time (Iceberg table sort-order analog) — the
         frontier uses (priority DESC, urlhash ASC) so the priority queue
@@ -93,6 +93,9 @@ class SnapshotTable:
         self.sort_cols = sort_cols
         self.merge_on_read = merge_on_read
         self.compact_after = compact_after
+        # widened-schema tables (lineage-style) opt into footer-merged
+        # reads; see _read_files
+        self.schema_evolving = schema_evolving
         # churn-proportional compaction trigger: fold deltas once their
         # bytes reach this fraction of the base (see _merge_delta). 0
         # disables, leaving only the commit-count trigger.
@@ -192,13 +195,19 @@ class SnapshotTable:
         return not self._live_files()
 
     def _read_files(self, spark: SparkSession, files: list[dict]) -> DataFrame:
-        # mergeSchema: a table whose writer gained columns (e.g. the
-        # lineage tables' execution_time) holds mixed-width parquet in
-        # one snapshot; without it Spark takes an arbitrary file's
-        # schema and the new columns nondeterministically vanish or
-        # fail to resolve. Iceberg carries the schema in table metadata
-        # instead; footer-merging is this store's sandbox analog.
-        return spark.read.option("mergeSchema", "true").parquet(
+        # mergeSchema (only for tables declared ``schema_evolving``): a
+        # table whose writer gained columns (e.g. the lineage tables'
+        # execution_time) holds mixed-width parquet in one snapshot;
+        # without footer-merging Spark takes an arbitrary file's schema
+        # and the new columns nondeterministically vanish or fail to
+        # resolve. Scoped, not global — the hot crawl tables never
+        # drift and must not pay an all-footer merge per scan (Iceberg
+        # carries the schema in table metadata instead; this is the
+        # sandbox analog).
+        reader = spark.read
+        if self.schema_evolving:
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(
             *[os.path.join(self.dir, f["path"]) for f in files])
 
     def _delta_winners(self, d: DataFrame, keys: list[str]) -> DataFrame:
@@ -298,18 +307,23 @@ class SnapshotTable:
         CHECKPOINTED version so the crashed attempt's uncheckpointed
         snapshot files are orphaned, not compounded.
 
-        Appended rows have no merge identity, so on a merge-on-read
-        table they are written as BASE files (implicit ``_seq=0``);
-        live delta files are carried and the manifest keeps their
-        reconcile keys — dropping them would make ``read`` crash, and a
-        reader must still apply the tombstones to the pre-existing
-        base."""
+        Appended rows have no merge identity (APPEND allows duplicate
+        keys), so they must live as plain BASE files OUTSIDE the key
+        reconcile — but base files written NEXT TO live deltas would be
+        retro-killed by older tombstones for the same key (equality
+        deletes apply to everything of lower sequence; a fresh append
+        is higher). So a delta-carrying table is compacted first:
+        the fold applies the existing tombstones to the OLD base only,
+        and the appended rows land untouched afterwards. Appends to
+        merge-on-read tables are rare (the crawl never does it); the
+        fold cost is the documented trade."""
         files = self._live_files(base_version)
-        keys = None
         if any(f.get("kind") == "delta" for f in files):
+            spark = df.sparkSession
             ver = base_version if base_version is not None else self.current_version()
-            keys = self._manifest(ver)["keys"]
-        return self._commit(files + self._write_data(df), meta, keys=keys)
+            folded = self._reconcile(spark, files, self._manifest(ver)["keys"])
+            files = self._write_data(folded)
+        return self._commit(files + self._write_data(df), meta)
 
     def overwrite(self, df: DataFrame, meta: dict | None = None) -> int:
         return self._commit(self._write_data(df), meta)
@@ -409,7 +423,7 @@ class SnapshotTable:
 
         new_entries = list(keep)
         if rewrite:
-            target = spark.read.parquet(*[os.path.join(self.dir, f["path"]) for f in rewrite])
+            target = self._read_files(spark, rewrite)
             gone = source.select(*keys)
             if delete_keys is not None:
                 gone = gone.unionByName(delete_keys.select(*keys))
@@ -566,11 +580,15 @@ class Catalog:
 
     def table(self, name: str, partition_col: str | None = None,
               sort_cols: list | None = None, merge_on_read: bool = False,
-              compact_after: int = 32) -> SnapshotTable:
+              compact_after: int = 32,
+              schema_evolving: bool = False) -> SnapshotTable:
         if name not in self._tables:
             self._tables[name] = SnapshotTable(
                 self.root, name, partition_col, sort_cols,
-                merge_on_read=merge_on_read, compact_after=compact_after)
+                merge_on_read=merge_on_read, compact_after=compact_after,
+                schema_evolving=schema_evolving)
+        if schema_evolving:  # caller-order-independent flag upgrade
+            self._tables[name].schema_evolving = True
         return self._tables[name]
 
     # ---- round checkpoints ----------------------------------------

@@ -169,8 +169,9 @@ def test_update_mode_counts_skipped_and_trips_quality_gate(spark, tmp_path):
                               mode=LoadMode.UPDATE)
     assert res.loaded == 0 and res.skipped == 60
     assert res.success_rate == 0.0 and not res.quality_ok
-    assert p.cat.table("etl_lineage", None).read(spark) \
-        .filter("status = 'quality_failed'").count() == 1
+    lin = p.cat.table("etl_lineage", None).read(spark) \
+        .filter("status = 'quality_failed'").first()
+    assert lin is not None and lin["skipped"] == 60 and lin["loaded"] == 0
 
 
 def test_insert_conflict_releases_pinned_extract(spark, tmp_path):

@@ -339,19 +339,25 @@ def test_mor_random_ops_match_dict_model(spark, tmp_path):
 
 
 def test_mor_append_after_deltas_read_ok(spark, tmp_path):
-    """append on a delta-carrying MoR table must keep the reconcile
-    keys in the manifest (read crashed with KeyError before) and the
-    tombstones must still apply to the pre-existing base."""
+    """append on a delta-carrying MoR table folds the deltas first:
+    tombstones apply to the PRE-EXISTING base only, and appended rows —
+    even one re-using a previously tombstoned key, or duplicating an
+    upserted key — survive untouched (APPEND allows duplicates; a
+    base-next-to-deltas write would have been retro-killed)."""
     t = Catalog(str(tmp_path)).table("ma", "shard", merge_on_read=True)
     t.compact_ratio = 0  # keep deltas live so append really sees them
     t.append(spark.createDataFrame(
         [(1, 1, "a"), (2, 2, "b")], "k int, shard int, v string"))
     t.merge(spark, spark.createDataFrame([(3, 3, "c")], "k int, shard int, v string"),
             ["k"], delete_keys=spark.createDataFrame([(2, 2)], "k int, shard int"))
-    t.append(spark.createDataFrame([(10, 2, "x")], "k int, shard int, v string"))
+    t.append(spark.createDataFrame(
+        [(10, 2, "x"), (2, 2, "revived"), (3, 3, "dup")],
+        "k int, shard int, v string"))
     got = _rows(t.read(spark))
-    assert got == [(1, 1, "a"), (3, 3, "c"), (10, 2, "x")]
-    assert "keys" in t._manifest(t.current_version())
+    assert got == [(1, 1, "a"), (2, 2, "revived"), (3, 3, "c"),
+                   (3, 3, "dup"), (10, 2, "x")]
+    files = t._live_files()
+    assert not any(f.get("kind") == "delta" for f in files),         "append must fold deltas so appended rows sit outside the reconcile"
 
 
 def test_mor_overwrite_partitions_folds_deltas_first(spark, tmp_path):

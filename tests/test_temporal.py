@@ -77,3 +77,12 @@ def test_range_join_equi_shape_and_results(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_asof_null_keys_never_match(spark):
+    l = spark.createDataFrame([(1, None, 10), (2, "k", 10)],
+                              "id long, k string, ts long")
+    r = spark.createDataFrame([(None, 5, "phantom"), ("k", 5, "real")],
+                              "k string, ts long, rv string")
+    got = {row["id"]: row["rv"] for row in asof_join(l, r, "k", "ts").collect()}
+    assert got == {1: None, 2: "real"}
