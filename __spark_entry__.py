@@ -654,6 +654,25 @@ def q49_pivot(spark, sf):
           for v in PIVOT_PRIORITIES])
 
 
+def q50_range_join(spark, sf):
+    """Interval (range) join via granule bucketing: points paired with
+    every same-key interval containing them — an equi-join on
+    (key, granule bucket), never a per-key nested loop. Oracle is the
+    plain theta join."""
+    from hyperion_crawler_spark.operators.temporal import range_join
+
+    o = _t(spark, sf, "orders").filter(F.col("o_orderkey") < 3000)
+    points = o.select((F.col("o_custkey") % 50).alias("k"),
+                      F.col("o_orderkey").alias("p"))
+    iv = o.filter(F.col("o_orderkey") % 10 == 0).select(
+        (F.col("o_custkey") % 50).alias("k"),
+        (F.col("o_orderkey") - (F.col("o_orderkey") % 97)).alias("lo"),
+        (F.col("o_orderkey") - (F.col("o_orderkey") % 97) + 40).alias("hi"),
+        F.col("o_orderkey").alias("tag"))
+    return range_join(points, iv, "k", "p", "lo", "hi", granule=64) \
+        .select("k", "p", "lo", "hi", "tag")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_first_wins_dedup": q01_first_wins_dedup,
@@ -706,6 +725,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q47_asof_join": q47_asof_join,
         "q48_grouping_sets": q48_grouping_sets,
         "q49_pivot": q49_pivot,
+        "q50_range_join": q50_range_join,
     }
 
 
@@ -1277,6 +1297,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT d3.doc_id,
                    floor(coalesce(s.sc, 0.0) * 1e6 + 0.5) / 1e6 AS score
             FROM d3 LEFT JOIN s USING (doc_id)
+        """,
+        "q50_range_join": """
+            WITH o AS (SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey < 3000),
+            pts AS (SELECT o_custkey % 50 AS k, o_orderkey AS p FROM o),
+            iv AS (SELECT o_custkey % 50 AS k,
+                          o_orderkey - (o_orderkey % 97) AS lo,
+                          o_orderkey - (o_orderkey % 97) + 40 AS hi,
+                          o_orderkey AS tag
+                   FROM o WHERE o_orderkey % 10 = 0)
+            SELECT pts.k, pts.p, iv.lo, iv.hi, iv.tag
+            FROM pts JOIN iv ON pts.k = iv.k AND pts.p BETWEEN iv.lo AND iv.hi
         """,
         "q47_asof_join": """
             WITH e AS (SELECT event_id, user_id, event_type, value,
