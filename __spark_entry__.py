@@ -673,6 +673,80 @@ def q50_range_join(spark, sf):
         .select("k", "p", "lo", "hi", "tag")
 
 
+def q51_frame_sample(spark, sf):
+    """Video frame sampling (operators/multimodal.frame_sample over the
+    HYVI codec) composed with image_stats. Videos are synthesized per
+    document with SOLID frames whose levels are a closed-form function
+    of (doc_id, frame_idx), so a decoded frame's brightness is exactly
+    its level — the SQL oracle computes the same values with no codec.
+    Exercises: video encode → HYVI decode → stride explode → lossless
+    per-frame hypng re-encode → image decode → channel stats."""
+    import pandas as pd
+
+    from hyperion_crawler_spark.functions.video import make_solid_video
+    from hyperion_crawler_spark.operators.multimodal import (
+        frame_sample,
+        image_stats,
+    )
+
+    docs = _t(spark, sf, "documents").select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            ids, blobs = [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                n = 6 + d % 7
+                w = 16 + (d % 3) * 8
+                ids.append(str(d))
+                blobs.append(make_solid_video(
+                    [(d * 7 + i * 13) % 256 for i in range(n)], w, 16))
+            yield pd.DataFrame({"video_id": ids, "bytes": blobs})
+
+    videos = docs.mapInPandas(gen, "video_id string, bytes binary")
+    frames = frame_sample(videos, every_n=3)
+    imgs = frames.select(
+        F.concat("video_id", F.lit("#"),
+                 F.col("frame_idx").cast("string")).alias("image_id"),
+        "bytes", "w", "h", "fmt")
+    return image_stats(imgs).select("image_id", "w", "h",
+                                    "brightness", "mean_r")
+
+
+def q52_audio_windows(spark, sf):
+    """Windowed audio stats (operators/multimodal.audio_window_stats
+    over the HYAU codec). Clips are square waves with per-document
+    closed-form (amplitude, half-period, length): every sample is ±a,
+    sign flips exactly at half-period multiples — so mean_abs, max_abs
+    and per-window zero-crossing counts are SQL-computable without the
+    codec. Exercises: int16 PCM encode → HYAU decode → fixed-grid
+    windowing → exact integer stats."""
+    import pandas as pd
+
+    from hyperion_crawler_spark.functions.audio import (
+        encode_audio,
+        make_square_wave,
+    )
+    from hyperion_crawler_spark.operators.multimodal import audio_window_stats
+
+    docs = _t(spark, sf, "documents").select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            ids, blobs = [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                a = 100 + (d % 90) * 10
+                hp = 8 + d % 25
+                n = 2048 + (d % 4) * 512
+                ids.append(str(d))
+                blobs.append(encode_audio(make_square_wave(a, hp, n), 8000))
+            yield pd.DataFrame({"audio_id": ids, "bytes": blobs})
+
+    clips = docs.mapInPandas(gen, "audio_id string, bytes binary")
+    return audio_window_stats(clips, window=512)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_first_wins_dedup": q01_first_wins_dedup,
@@ -726,6 +800,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q48_grouping_sets": q48_grouping_sets,
         "q49_pivot": q49_pivot,
         "q50_range_join": q50_range_join,
+        "q51_frame_sample": q51_frame_sample,
+        "q52_audio_windows": q52_audio_windows,
     }
 
 
@@ -1321,6 +1397,43 @@ def oracle_sql() -> dict[str, str]:
                    v.view_value, v.view_event
             FROM c ASOF LEFT JOIN v
               ON c.user_id = v.user_id AND c.us >= v.us
+        """,
+        "q51_frame_sample": """
+            -- closed-form mirror of the HYVI solid-frame pipeline: a
+            -- sampled frame's brightness/mean_r are exactly its level
+            WITH f AS (
+                SELECT doc_id,
+                       unnest(generate_series(0, 6 + doc_id % 7 - 1)) AS i
+                FROM documents)
+            SELECT CAST(doc_id AS VARCHAR) || '#' || CAST(i AS VARCHAR)
+                       AS image_id,
+                   CAST(16 + (doc_id % 3) * 8 AS INTEGER) AS w,
+                   CAST(16 AS INTEGER) AS h,
+                   CAST((doc_id * 7 + i * 13) % 256 AS DOUBLE) AS brightness,
+                   CAST((doc_id * 7 + i * 13) % 256 AS DOUBLE) AS mean_r
+            FROM f WHERE i % 3 = 0
+        """,
+        "q52_audio_windows": """
+            -- closed-form mirror of the HYAU square-wave windows:
+            -- every sample is ±a (mean_abs = max_abs = a) and the sign
+            -- flips exactly at half-period multiples, so crossings in
+            -- window [s, s+511] = floor((s+511)/hp) - floor(s/hp)
+            WITH w AS (
+                SELECT doc_id,
+                       100 + (doc_id % 90) * 10 AS a,
+                       8 + doc_id % 25 AS hp,
+                       2048 + (doc_id % 4) * 512 AS n,
+                       unnest(generate_series(
+                           0, (2048 + (doc_id % 4) * 512) // 512 - 1)) AS wi
+                FROM documents)
+            SELECT CAST(doc_id AS VARCHAR) AS audio_id,
+                   CAST(wi AS INTEGER) AS window_idx,
+                   CAST(a AS DOUBLE) AS mean_abs,
+                   CAST(a AS DOUBLE) AS max_abs,
+                   CAST((wi * 512 + 511) // hp - (wi * 512) // hp
+                        AS INTEGER) AS zero_crossings,
+                   CAST(n AS DOUBLE) / 8e3 AS duration_s
+            FROM w
         """,
         "q48_grouping_sets": """
             SELECT l_returnflag, l_linestatus,

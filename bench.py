@@ -37,6 +37,12 @@ BENCH_QUERIES = [
     "q19_simhash",
     "q20_embedding_topk",
     "q22_text_quality",
+    # round-3 operator surface — tracked so regressions are visible
+    # round-over-round, not just correctness-gated
+    "q39_dup_clusters",
+    "q40_bm25",
+    "q42_sessionize",
+    "q47_asof_join",
 ]
 
 CRAWL_BENCH_URLS = int(os.environ.get("BENCH_CRAWL_URLS", 2_000_000))

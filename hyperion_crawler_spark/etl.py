@@ -312,28 +312,35 @@ class ETLPipeline:
             # update-only-matched: rows whose key is absent are SKIPPED,
             # never inserted (the enum's "업데이트만" semantics; the
             # reference declares but never implements this branch).
-            # This branch bypasses the Observation: the observe node
-            # can't sit under the extra semi-join (metrics-row assertion
-            # in Spark 4), and limit(0)/filter(False) narrowings get
-            # optimizer-folded so obs.get would block; loaded = matched
-            # count (the reference's `updated` counter), skipped = the
-            # unmatched remainder so success_rate sees the drops.
+            # This branch bypasses the Observation entirely: Spark 4's
+            # Observation hits a toPyRow metrics assertion whenever the
+            # observed plan contains (or is later fed into) a join, and
+            # the match probe is inherently a join. Instead the probe is
+            # ONE left join with a match flag, persisted once: a single
+            # aggregate over the cache yields total AND matched together
+            # (one driver action, where the previous form ran two
+            # count() jobs over two separate persists), and the merge
+            # source + the latest-slice batch are cheap filters over the
+            # same cache. loaded = matched (the reference's `updated`
+            # counter), skipped = the unmatched remainder so
+            # success_rate sees the drops.
             existing = table.read(self.spark)
-            deduped = deduped.persist()
-            self._pinned.setdefault(source_name, []).append(deduped)
-            n_total = deduped.count()
             if existing is None:
-                n_update = 0
+                n_update, n_skip = 0, deduped.count()
             else:
                 ks = src.conflict_keys
-                written = deduped.join(
-                    existing.select(*ks).distinct(), ks, "left_semi").persist()
+                flagged = deduped.join(
+                    existing.select(*ks).distinct().withColumn("_m", F.lit(1)),
+                    ks, "left").persist()
                 # registered in _pinned so the _load wrapper's finally
-                # releases them even when a later step raises
-                self._pinned.setdefault(source_name, []).append(written)
-                n_update = written.count()
+                # releases it even when a later step raises
+                self._pinned.setdefault(source_name, []).append(flagged)
+                m = flagged.agg(F.count(F.lit(1)).alias("total"),
+                                F.sum("_m").alias("matched")).first()
+                n_update = int(m["matched"] or 0)
+                n_skip = int(m["total"]) - n_update
+                written = flagged.filter(F.col("_m") == 1).drop("_m")
                 table.merge(self.spark, written, ks)
-            n_skip = n_total - n_update
         elif mode == LoadMode.REPLACE:
             assert src.partition_col, "REPLACE needs a partition column"
             parts = [r[0] for r in observed.select(src.partition_col).distinct().collect()]

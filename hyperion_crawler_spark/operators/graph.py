@@ -104,3 +104,38 @@ def rescore_frontier_priority(frontier: DataFrame, links: DataFrame,
                                (1.0 - weight) * F.col("priority") + weight * F.col("_pr"))
                         .otherwise(F.col("priority")))
             .drop("_pr"))
+
+
+def rescore_frontier_delta(frontier: DataFrame, links: DataFrame,
+                           iters: int = 2, weight: float = 0.5,
+                           handles: list | None = None) -> DataFrame:
+    """Changed-rows-only rescore: same blend as
+    ``rescore_frontier_priority`` but returns ONLY the frontier rows
+    whose priority the blend actually moves — the graph-adjacent slice.
+
+    This is the commit-path variant: unknown URLs keep their priority
+    (``graph.py`` blend semantics), so rewriting them is pure write
+    amplification. A 10^10-row pending queue with a 10^6-node known
+    link graph must commit ~10^6 changed rows through the
+    merge-on-read frontier ``merge()`` (O(graph) delta bytes, folded
+    at the next compaction), never an ``overwrite()`` of the whole
+    queue. Reference analog: the per-row ``ON CONFLICT`` upsert writes
+    only conflicting rows (/root/reference/api/src/etl/base/
+    loader.py:144-186).
+
+    Plan shape: INNER join frontier ⨝ ranks on url (one shuffle of
+    each side; rank side is O(known graph)) → filter
+    ``blended != priority`` drops no-op rows so an already-converged
+    rescore commits an empty delta (merge() carries files unchanged).
+    """
+    pr = pagerank(links, iters=iters, handles=handles).persist()
+    if handles is not None:
+        handles.append(pr)
+    mx = pr.agg(F.max("rank")).first()[0] or 1.0
+    pr_n = pr.select("url", (F.col("rank") / F.lit(mx)).alias("_pr"))
+    blended = (1.0 - weight) * F.col("priority") + weight * F.col("_pr")
+    return (frontier.join(pr_n, "url", "inner")
+            .withColumn("_newp", blended)
+            .filter(F.col("_newp") != F.col("priority"))
+            .withColumn("priority", F.col("_newp"))
+            .drop("_pr", "_newp"))

@@ -2,13 +2,18 @@
 columns with typed metadata (training-data-pipeline requirement).
 
 Design: payloads stay ``BinaryType``; every transform is a
-``mapInPandas`` kernel over Arrow batches (pixel math in numpy). The
-container has no real codec libraries, so REAL-format decode is stubbed
-exactly like the reference stubs unfinished sources
+``mapInPandas`` kernel over Arrow batches (pixel/sample math in numpy).
+The container has no real codec libraries, so REAL-format decode is
+stubbed exactly like the reference stubs unfinished sources
 (/root/reference/api/src/etl/dart/extractor.py:19-50 — returns empty
-with a TODO): the HY deterministic codec exercises the full plumbing
-(schema, batching, partitioning, column pruning) and ``decode_real``
-raises ``NotImplementedError`` until an image lib is present.
+with a TODO); each modality instead ships a deterministic HY codec
+that the operators genuinely decode: images (``functions/images.py``),
+video (``functions/video.py`` — HYVI, frame_sample below), audio
+(``functions/audio.py`` — HYAU, audio_window_stats/audio_features
+below). The ``decode_real`` hooks raise ``NotImplementedError`` until
+a codec lib is present; everything else — schemas, batching,
+partitioning, column pruning, the stats math — is real and
+oracle-checked (q51/q52).
 
 Column-pruning discipline (SURVEY §7 "what's hard" #4): callers must
 ``select`` the binary column ONLY into these kernels; every output
@@ -135,21 +140,105 @@ def image_embedding(corpus: DataFrame, dim: int = 64) -> DataFrame:
     return corpus.select("image_id", "bytes").mapInPandas(kernel, EMBED_SCHEMA)
 
 
+FRAME_SAMPLE_SCHEMA = ("video_id string, frame_idx int, bytes binary, "
+                       "w int, h int, fmt string")
+
+
 def frame_sample(video: DataFrame, every_n: int = 10) -> DataFrame:
-    """Video frame sampling — STUB: no video codec in this container.
-    The Spark-side contract (binary in → exploded frame rows out via
-    mapInPandas) is fixed here so a real decoder drops in."""
-    raise NotImplementedError(
-        "video decode requires a codec library absent from this container; "
-        "plumbing contract: video.mapInPandas(kernel, "
-        "'video_id string, frame_idx int, bytes binary')"
-    )
+    """Video frame sampling over the deterministic HYVI codec
+    (functions/video.py): decode → take frames 0, every_n, 2·every_n, …
+    → re-encode each as a LOSSLESS HY image (``hypng``) so every image
+    operator in this module (stats/resize/embedding) composes directly
+    on the output rows.
+
+    Scale shape: one mapInPandas pass; a row explodes into
+    ⌈n_frames/every_n⌉ frame rows INSIDE the kernel (no Python UDF per
+    frame, no driver explode); output drops the source video bytes.
+    Real mp4 decode slots into this exact kernel
+    (functions/video.decode_real) when a codec lib exists."""
+    from ..functions.video import decode_video
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                frames, _fps = decode_video(bytes(r.bytes))
+                n, h, w, _ = frames.shape
+                for i in range(0, n, every_n):
+                    rows.append((r.video_id, i, encode(frames[i], "hypng"),
+                                 w, h, "hypng"))
+            yield pd.DataFrame(rows, columns=["video_id", "frame_idx",
+                                              "bytes", "w", "h", "fmt"])
+
+    return video.select("video_id", "bytes").mapInPandas(
+        kernel, FRAME_SAMPLE_SCHEMA)
 
 
-def audio_features(audio: DataFrame) -> DataFrame:
-    """Audio feature extraction — STUB (no audio lib in container)."""
-    raise NotImplementedError(
-        "audio decode requires a codec library absent from this container; "
-        "plumbing contract: audio.mapInPandas(kernel, "
-        "'audio_id string, duration_s double, features array<float>')"
-    )
+def _audio_window_rows(b: bytes, window: int):
+    """Per-window integer stats of one HYAU payload → (duration_s,
+    [(window_idx, mean_abs, max_abs, zero_crossings), …]). All-integer
+    inputs (int16 PCM) so mean_abs is one exact division per window."""
+    from ..functions.audio import decode_audio
+
+    samples, sr = decode_audio(b)
+    duration = samples.size / sr
+    out = []
+    for wi in range(0, samples.size // window):
+        seg = samples[wi * window:(wi + 1) * window].astype(np.int64)
+        a = np.abs(seg)
+        zc = int(np.count_nonzero(seg[:-1] * seg[1:] < 0))
+        out.append((wi, float(a.sum()) / window, float(a.max()), zc))
+    return duration, out
+
+
+AUDIO_WINDOW_SCHEMA = ("audio_id string, window_idx int, mean_abs double, "
+                       "max_abs double, zero_crossings int, duration_s double")
+
+
+def audio_window_stats(audio: DataFrame, window: int = 512) -> DataFrame:
+    """Windowed audio stats as ROWS (the exploded form q52's SQL value
+    oracle checks): one row per ``window``-sample window with exact
+    integer-derived stats. Trailing partial windows are dropped (fixed
+    window grid, as a feature extractor's strided frontend would)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                dur, wrows = _audio_window_rows(bytes(r.bytes), window)
+                rows.extend((r.audio_id, wi, m, mx, zc, dur)
+                            for (wi, m, mx, zc) in wrows)
+            yield pd.DataFrame(rows, columns=["audio_id", "window_idx",
+                                              "mean_abs", "max_abs",
+                                              "zero_crossings", "duration_s"])
+
+    return audio.select("audio_id", "bytes").mapInPandas(
+        kernel, AUDIO_WINDOW_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = ("audio_id string, duration_s double, "
+                         "features array<float>")
+
+
+def audio_features(audio: DataFrame, window: int = 512) -> DataFrame:
+    """Audio feature extraction over the HYAU codec: per clip, the
+    flattened per-window triples [mean_abs, max_abs, zero_crossings] —
+    the fixed-dim-per-window vector contract a real frontend (e.g.
+    log-mel frames) drops into. Same decode/stat kernel as
+    ``audio_window_stats``; this is the array<float> packaging."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, durs, feats = [], [], []
+            for r in pdf.itertuples(index=False):
+                dur, wrows = _audio_window_rows(bytes(r.bytes), window)
+                ids.append(r.audio_id)
+                durs.append(dur)
+                feats.append(np.array(
+                    [v for (_wi, m, mx, zc) in wrows
+                     for v in (m, mx, zc)], dtype=np.float32))
+            yield pd.DataFrame({"audio_id": ids, "duration_s": durs,
+                                "features": feats})
+
+    return audio.select("audio_id", "bytes").mapInPandas(
+        kernel, AUDIO_FEATURES_SCHEMA)

@@ -171,13 +171,18 @@ def fetch_and_validate(scheduled: DataFrame, corpus: DataFrame,
     Guard: the per-round schedule is bounded per host (politeness
     budget) but not globally — at extreme host counts an unconditional
     broadcast could blow past Spark's 8 GB / 512M-row broadcast hard
-    limit and hard-fail the round. Same pattern as the ANN GEMM cap:
-    a bounded ``limit(cap+1).count()`` probe; above ``broadcast_row_cap``
-    the join falls back to a plain shuffle join (degrades — the payload
-    crosses an Exchange that round — but completes).
+    limit and hard-fail the round. The probe is a plain distributed
+    ``count()`` — map-side partial aggregation, no row movement. (A
+    ``limit(cap+1).count()`` probe would be WORSE here: Catalyst plans
+    it as LocalLimit → Exchange(SinglePartition) → GlobalLimit, which
+    ships every surviving image_id to one task — a guaranteed
+    straggler at exactly the scale the guard targets, since per-task
+    rows sit far below the cap so LocalLimit prunes nothing.) Above
+    ``broadcast_row_cap`` the join falls back to a plain shuffle join
+    (degrades — the payload crosses an Exchange that round — but
+    completes).
     """
-    sched_cols = scheduled.select("image_id").limit(broadcast_row_cap + 1)
-    oversized = broadcast_row_cap >= 0 and sched_cols.count() > broadcast_row_cap
+    oversized = broadcast_row_cap >= 0 and scheduled.count() > broadcast_row_cap
     build = scheduled if oversized else F.broadcast(scheduled)
     hits = corpus.select("image_id", "bytes", "w", "h", "fmt", "caption", "phash").join(
         build, "image_id", "inner"

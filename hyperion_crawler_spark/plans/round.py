@@ -95,7 +95,21 @@ def _frontier_table(cat):
 
 def init_frontier(spark: SparkSession, cat, cfg: CrawlConfig, seeds: DataFrame) -> dict:
     """Round -1 bootstrap: seeds → canonical frontier rows, all marked
-    seen (a URL is 'seen' once it enters the frontier — never re-added)."""
+    seen (a URL is 'seen' once it enters the frontier — never re-added).
+
+    Refuses to run on a store whose round log already has entries: the
+    bootstrap OVERWRITES frontier + seen state, so calling it on a
+    store that already holds committed work (a crawled frontier, or
+    seeds streamed in via ``streaming.seed_ingest`` — which commits
+    its merges as round 0) would silently discard that state.
+    ``run_crawl`` only bootstraps when ``last_round()`` is None, so
+    this guard protects direct callers."""
+    if cat.last_round() is not None:
+        raise ValueError(
+            "init_frontier on a store with committed rounds "
+            f"(last_round={cat.last_round()}); it would overwrite the "
+            "existing frontier/seen state. Resume with run_crawl, or "
+            "point at a fresh store directory.")
     frontier_t = _frontier_table(cat)
     seen_t = cat.table("seen_filters", "shard")
     seen_exact_t = cat.table("seen_exact", "shard")
@@ -297,7 +311,8 @@ def run_round(spark: SparkSession, cat, cfg: CrawlConfig, round_idx: int,
         fs_ver = base.get("fetched_srcs", 0)
         covered = 0
         if fs_ver:
-            covered = fetched_srcs_t._manifest(fs_ver).get("meta", {})                 .get("upto_round", 0)
+            covered = (fetched_srcs_t._manifest(fs_ver)
+                       .get("meta", {}).get("upto_round", 0))
         if covered < round_idx - 1 and base.get("results", 0) > 0:
             prev = results_t.read(spark, version=base.get("results", 0))
             if prev is not None:
@@ -312,7 +327,7 @@ def run_round(spark: SparkSession, cat, cfg: CrawlConfig, round_idx: int,
         # (edges whose src this crawl has fetched). Committed as part of
         # THIS round's checkpoint: a crash before commit_round orphans
         # the rescored snapshot and the redo reproduces it exactly.
-        from ..operators.graph import rescore_frontier_priority
+        from ..operators.graph import rescore_frontier_delta
 
         fetched_srcs = fetched_srcs_t.read(
             spark, version=versions["fetched_srcs"])
@@ -321,13 +336,20 @@ def run_round(spark: SparkSession, cat, cfg: CrawlConfig, round_idx: int,
         known_links = links.join(fetched_srcs.select("src_url").distinct(), "src_url")
         fr_now = frontier_t.read(spark, version=versions["frontier"])
         if fr_now is not None:
+            # Commit ONLY the rows the blend moved, through the
+            # merge-on-read frontier merge — O(known-graph) delta
+            # bytes per rescore instead of rewriting the whole
+            # pending queue (a 10^10-row table must not be rewritten
+            # to change the graph-adjacent slice). Compaction re-sorts
+            # the queue as usual.
             pinned: list = []
-            rescored = rescore_frontier_priority(
+            moved = rescore_frontier_delta(
                 fr_now, known_links, iters=2, weight=cfg.rescore_weight,
                 handles=pinned)
-            versions["frontier"] = frontier_t.overwrite(
-                rescored.select(*FRONTIER_COLS))
-            for h in pinned:  # overwrite() materialized the blend
+            versions["frontier"] = frontier_t.merge(
+                spark, moved.select(*FRONTIER_COLS), ["urlhash"],
+                base_version=versions["frontier"])
+            for h in pinned:  # merge() materialized the blend
                 h.unpersist()
         t = _mark("rescore_priority", t)
     versions["archive"] = cat.table("archive", "shard").append(

@@ -44,6 +44,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def _atomic_write_json(path: str, obj) -> None:
@@ -217,9 +218,21 @@ class SnapshotTable:
         ``compact_after`` commits. Keeps ``_tomb``."""
         user_cols = [c for c in d.columns if c not in ("_seq", "_tomb")]
         val_cols = [c for c in user_cols if c not in keys]
+        # Tie-break: two upsert rows for the SAME key in the SAME merge
+        # commit share (_seq, _tomb) — without a further ordering the
+        # winner is whichever row the hash-agg saw last, i.e.
+        # nondeterministic across runs (a resume-bit-identity hazard;
+        # the CoW path keeps both duplicates, so the two paths would
+        # also diverge silently). Extend the ordering struct with the
+        # orderable value columns (maps aren't orderable in Spark) so
+        # ties resolve to the max value row, deterministically — the
+        # same total-order trick the as-of join tiebreak uses.
+        orderable = [c for c in val_cols
+                     if not isinstance(d.schema[c].dataType, T.MapType)]
         picked = d.groupBy(*keys).agg(
             F.max_by(F.struct(*val_cols, "_tomb"),
-                     F.struct(F.col("_seq"), F.col("_tomb").cast("int"))).alias("_r"))
+                     F.struct(F.col("_seq"), F.col("_tomb").cast("int"),
+                              *[F.col(c) for c in orderable])).alias("_r"))
         return picked.select(*[F.col(k) for k in keys],
                              *[F.col(f"_r.{c}").alias(c) for c in val_cols],
                              F.col("_r._tomb").alias("_tomb"))
@@ -502,6 +515,78 @@ class SnapshotTable:
         df = self._reconcile(spark, files, self._manifest(ver)["keys"])
         return self._commit(self._write_data(df), meta)
 
+    def rewrite_small_files(self, spark: SparkSession,
+                            small_bytes: int = 32 << 20,
+                            base_version: int | None = None) -> int | None:
+        """Bin-pack small BASE files into one consolidated file per
+        partition value (Iceberg ``rewrite_data_files`` with a
+        file-size filter — the append-table sibling of ``compact``).
+
+        Append-only tables (archive / results / lineage) gain ~one file
+        per partition value per round and their manifests grow per
+        commit; at 10^5 rounds that is millions of small files and
+        multi-GB manifests, with nothing ever folding them (MoR
+        compaction only covers delta-carrying tables). This rewrite
+        reads, per partition-value group, every live base file smaller
+        than ``small_bytes`` and rewrites the group as ONE file,
+        carrying larger files and the previous manifest ``meta``
+        (e.g. fetched_srcs' coverage watermark) forward unchanged.
+
+        Partition-agnostic by design: grouping keys off the manifest's
+        per-file partition stats, not ``partition_col``, so a
+        maintenance process that opens tables by name (Catalog.expire)
+        consolidates correctly without knowing each table's layout, and
+        exact pruning stats survive. One tiny write job per group —
+        bounded by the number of partition values (shard count), fine
+        for a maintenance pass.
+
+        Returns the new version, or None when there is nothing to do
+        (no live files, any delta present — compaction owns those — or
+        no group with ≥2 small files). Rows are preserved as a
+        multiset; time travel to older versions keeps working until
+        ``expire_snapshots`` sweeps them."""
+        ver = base_version if base_version is not None else self.current_version()
+        if not ver:
+            return None
+        files = self._live_files(ver)
+        if not files or any(f.get("kind") == "delta" for f in files):
+            return None
+        groups: dict[tuple, list[dict]] = {}
+        for f in files:
+            groups.setdefault((f.get("part_min"), f.get("part_max")), []).append(f)
+        keep: list[dict] = []
+        todo: list[tuple[tuple, list[dict]]] = []
+        for key, ents in groups.items():
+            smalls = [e for e in ents if os.path.getsize(
+                os.path.join(self.dir, e["path"])) < small_bytes]
+            if len(smalls) >= 2:
+                todo.append((key, smalls))
+                keep.extend(e for e in ents if e not in smalls)
+            else:
+                keep.extend(ents)
+        if not todo:
+            return None
+        sub = f"commit-{uuid.uuid4().hex[:12]}"
+        new_entries: list[dict] = []
+        for (pmin, pmax), ents in sorted(todo, key=lambda kv: str(kv[0])):
+            df = self._read_files(spark, ents)
+            if self.sort_cols:
+                df = df.coalesce(1).sortWithinPartitions(*self.sort_cols)
+            else:
+                df = df.coalesce(1)
+            gdir = os.path.join(self.dir, "data", sub, f"g_{pmin}_{pmax}")
+            df.write.mode("overwrite").parquet(gdir)
+            for fn in sorted(os.listdir(gdir)):
+                if not fn.endswith(".parquet"):
+                    continue
+                ent: dict = {"path": os.path.relpath(
+                    os.path.join(gdir, fn), self.dir)}
+                if pmin is not None:
+                    ent["part_min"], ent["part_max"] = pmin, pmax
+                new_entries.append(ent)
+        return self._commit(keep + new_entries,
+                            meta=self._manifest(ver).get("meta"))
+
     def expire_snapshots(self, retain_versions: set[int] | None = None,
                          keep_last: int = 2) -> dict:
         """Iceberg ``expire_snapshots`` + ``remove_orphan_files`` analog.
@@ -587,9 +672,29 @@ class Catalog:
                 self.root, name, partition_col, sort_cols,
                 merge_on_read=merge_on_read, compact_after=compact_after,
                 schema_evolving=schema_evolving)
-        if schema_evolving:  # caller-order-independent flag upgrade
-            self._tables[name].schema_evolving = True
-        return self._tables[name]
+        # Handles are cached by name, so every declared property must be
+        # caller-ORDER-INDEPENDENT: a first caller that omits a flag
+        # must not silently downgrade the table for a later caller that
+        # declares it (e.g. a bare cat.table('frontier') before the
+        # crawl's MoR declaration would otherwise make the first merge
+        # CoW and the writes unsorted). Flags upgrade in place;
+        # conflicting partition-column re-declarations are an error.
+        t = self._tables[name]
+        if schema_evolving:
+            t.schema_evolving = True
+        if merge_on_read and not t.merge_on_read:
+            t.merge_on_read = True
+            t.compact_after = compact_after
+        if partition_col is not None:
+            if t.partition_col is None:
+                t.partition_col = partition_col
+            elif t.partition_col != partition_col:
+                raise ValueError(
+                    f"table {name!r} already declared with partition_col="
+                    f"{t.partition_col!r}; got conflicting {partition_col!r}")
+        if sort_cols is not None and t.sort_cols is None:
+            t.sort_cols = sort_cols
+        return t
 
     # ---- round checkpoints ----------------------------------------
     @property
@@ -612,13 +717,40 @@ class Catalog:
         rounds[round_idx] = table_versions
         _atomic_write_json(self._rounds_path, {str(k): v for k, v in rounds.items()})
 
-    def expire(self, keep_rounds: int = 1) -> dict[str, dict]:
+    def expire(self, keep_rounds: int = 1,
+               spark: SparkSession | None = None,
+               rewrite_small_bytes: int | None = None) -> dict[str, dict]:
         """Catalog-wide GC: retain, per table, exactly the snapshot
         versions reachable from the last ``keep_rounds`` round
         checkpoints (resume safety — ``base_versions`` must keep
         resolving) plus each table's head; expire everything else and
         sweep orphans. The maintenance operation Iceberg runs as
-        ``expire_snapshots`` per table, driven from the round log."""
+        ``expire_snapshots`` per table, driven from the round log.
+
+        With ``spark`` + ``rewrite_small_bytes``, first bin-packs each
+        table's small base files (``rewrite_small_files``) on top of
+        its last-checkpointed version and FOLDS the new version into
+        the latest round-log entry — so resumes bind to the
+        consolidated snapshot (identical content) and the GC below then
+        sweeps the superseded small files. This bounds append-table
+        file counts by O(partition values), not O(rounds)."""
+        if rewrite_small_bytes and spark is not None:
+            rounds0 = self.completed_rounds()
+            if rounds0:
+                last = max(rounds0)
+                base = self.base_versions()
+                updated = dict(rounds0[last])
+                for name in sorted(os.listdir(self.root)):
+                    if not os.path.isdir(os.path.join(self.root, name, "snapshots")):
+                        continue
+                    t = self._tables.get(name) or SnapshotTable(self.root, name)
+                    nv = t.rewrite_small_files(
+                        spark, rewrite_small_bytes,
+                        base_version=base.get(name))
+                    if nv is not None:
+                        updated[name] = nv
+                if updated != rounds0[last]:
+                    self.commit_round(last, updated)
         rounds = self.completed_rounds()
         kept_rounds = set(sorted(rounds)[-keep_rounds:]) if rounds else set()
         retain: dict[str, set[int]] = {}

@@ -57,11 +57,20 @@ def ingest_seed_stream(spark: SparkSession, cat, cfg: CrawlConfig,
             current = spark.createDataFrame(
                 [], "shard int, filter_bytes binary, n_items long")
         unseen, filters, cache = probe_and_update(cand, current, cfg)
+        # The new-URL counter shares the merge's materialization via an
+        # explicit persist: merge() respects a caller-persisted source
+        # (storageLevel probe), so the later count() is a cache scan,
+        # not a re-run of the probe/dedup plan. (An observe() on the
+        # merge source would make the counter ride the merge action
+        # itself, but Spark 4's Observation hits a toPyRow metrics
+        # assertion whenever the observed plan contains a join — the
+        # probe pipeline does — so the cache-shared count is the
+        # cheapest working form.)
         rows = (unseen.withColumn("status", F.lit("queued"))
                 .withColumn("retry_count", F.lit(0))
                 .withColumn("next_fetch_ts", F.lit(0).cast("long"))
                 .withColumn("discovered_round", F.lit(round_idx))
-                .select(*FRONTIER_COLS))
+                .select(*FRONTIER_COLS)).persist()
         versions = dict(cat.completed_rounds().get(round_idx, {}))
         versions["frontier"] = frontier_t.merge(
             spark, rows, ["urlhash"], base_version=base.get("frontier"))
@@ -71,8 +80,9 @@ def ingest_seed_stream(spark: SparkSession, cat, cfg: CrawlConfig,
             versions["seen_exact"] = seen_exact_t.append(
                 unseen.select("urlhash", "shard"),
                 base_version=base.get("seen_exact", 0))
-        totals["new_urls"] += rows.count()
+        totals["new_urls"] += rows.count()  # served from the cache
         totals["batches"] += 1
+        rows.unpersist()
         cache.unpersist()
         # durability point: fold into the round log LAST — Spark marks
         # the micro-batch done only after this returns

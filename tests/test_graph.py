@@ -171,3 +171,84 @@ def test_rescore_enabled_midcrawl_backfills_fetched_srcs(
                     fs.groupBy("round").agg(F.count("*").alias("n")).collect()}
     assert got_by_round == fetched_by_round, \
         "fetched_srcs must cover ALL rounds incl. pre-flip history"
+
+
+def test_rescore_delta_matches_full_blend(spark):
+    """The changed-rows-only variant must be pointwise identical to the
+    full blend: applying the delta over the original frontier
+    reproduces rescore_frontier_priority exactly, and untouched URLs
+    never appear in the delta (they'd be pure write amplification)."""
+    from hyperion_crawler_spark.operators.graph import rescore_frontier_delta
+
+    links = spark.createDataFrame(
+        [("u1", "u2"), ("u3", "u2"), ("u2", "u1")], "src_url string, dst_url string")
+    frontier = spark.createDataFrame(
+        [("u1", 0.4), ("u2", 0.4), ("u9", 0.4)], "url string, priority double")
+    full = {r["url"]: r["priority"] for r in
+            rescore_frontier_priority(frontier, links, iters=1, weight=0.5).collect()}
+    delta = {r["url"]: r["priority"] for r in
+             rescore_frontier_delta(frontier, links, iters=1, weight=0.5).collect()}
+    assert "u9" not in delta, "unknown URL must not be in the delta"
+    applied = {"u1": 0.4, "u2": 0.4, "u9": 0.4}
+    applied.update(delta)
+    assert applied == full
+
+
+def test_rescore_commit_writes_delta_not_full_queue(spark, tmp_path):
+    """Scale fence for the rescore commit (VERDICT r3 weak item): a
+    rescore over a big frontier with a small known graph must append
+    O(graph) delta bytes through the MoR merge, never rewrite the
+    queue. Asserts both row-count (delta rows == moved rows) and a
+    bytes bound vs the base."""
+    import os
+
+    from pyspark.sql import functions as FF
+
+    from hyperion_crawler_spark.operators.graph import rescore_frontier_delta
+    from hyperion_crawler_spark.plans.round import FRONTIER_COLS, _frontier_table
+    from hyperion_crawler_spark.sources.tables import Catalog
+
+    cat = Catalog(str(tmp_path))
+    t = _frontier_table(cat)
+    t.compact_ratio = 0  # measure the steady delta path, not a fold
+    n = 100_000
+    frontier = spark.range(n).select(
+        F.col("id").alias("urlhash"),
+        F.concat(F.lit("https://h/p"), F.col("id")).alias("url"),
+        F.lit("h").alias("host"),
+        F.concat(F.lit("img"), F.col("id")).alias("image_id"),
+        F.pmod("id", F.lit(8)).cast("int").alias("shard"),
+        (F.col("id") % 100 / 1e2).alias("priority"),
+        F.lit("pending").alias("status"),
+        F.lit(0).cast("int").alias("retry_count"),
+        F.lit(0).cast("long").alias("next_fetch_ts"),
+        F.lit(0).cast("int").alias("discovered_round"))
+    v0 = t.overwrite(frontier)
+    # 50-edge graph over the first 51 frontier URLs
+    links = spark.range(50).select(
+        F.concat(F.lit("https://h/p"), F.col("id")).alias("src_url"),
+        F.concat(F.lit("https://h/p"), F.col("id") + 1).alias("dst_url"))
+    fr = t.read(spark, version=v0)
+    moved = rescore_frontier_delta(fr, links, iters=1, weight=0.5)
+    n_moved = moved.count()
+    assert 0 < n_moved <= 51
+    v1 = t.merge(spark, moved.select(*FRONTIER_COLS), ["urlhash"],
+                 base_version=v0)
+    prev = {f["path"] for f in t._live_files(v0)}
+    new = [f for f in t._live_files(v1) if f["path"] not in prev]
+    base_bytes = sum(os.path.getsize(os.path.join(t.dir, f["path"]))
+                     for f in t._live_files(v0))
+    new_bytes = sum(os.path.getsize(os.path.join(t.dir, f["path"])) for f in new)
+    assert new_bytes < base_bytes / 20, (new_bytes, base_bytes)
+    # the delta carries exactly the moved rows (no full-queue rewrite)
+    delta_rows = sum(
+        spark.read.parquet(os.path.join(t.dir, f["path"]))
+        .filter(FF.col("_tomb") == False).count()  # noqa: E712
+        for f in new)
+    assert delta_rows == n_moved
+    after = {r["urlhash"]: r["priority"]
+             for r in t.read(spark, version=v1).collect()}
+    want = {r["urlhash"]: r["priority"]
+            for r in fr.collect()}
+    want.update({r["urlhash"]: r["priority"] for r in moved.collect()})
+    assert after == want

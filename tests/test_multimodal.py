@@ -42,11 +42,92 @@ def test_image_embedding_normalized(spark, fixture_dfs):
         assert abs(np.linalg.norm(v) - 1.0) < 1e-5
 
 
-def test_video_audio_stubbed(spark, fixture_dfs):
+def test_real_format_decode_still_stubbed():
+    """Only the real-codec hooks stay gated (no ffmpeg/soundfile in
+    the container); the HY-codec operator paths are live."""
+    from hyperion_crawler_spark.functions import audio as A
+    from hyperion_crawler_spark.functions import video as V
+
     with pytest.raises(NotImplementedError):
-        MM.frame_sample(fixture_dfs["corpus"])
+        V.decode_real(b"\x00")
     with pytest.raises(NotImplementedError):
-        MM.audio_features(fixture_dfs["corpus"])
+        A.decode_real(b"\x00")
+
+
+def test_video_codec_roundtrip_and_frame_sample(spark):
+    from hyperion_crawler_spark.functions import video as V
+    from hyperion_crawler_spark.functions.images import decode, make_pixels
+
+    vid = V.make_video("v1", w=16, h=12, n_frames=7, fps=5)
+    frames, fps = V.decode_video(vid)
+    assert fps == 5 and frames.shape == (7, 12, 16, 3)
+    assert np.array_equal(frames[3], make_pixels("v1:3", 16, 12))  # bit-exact
+
+    df = spark.createDataFrame([("v1", bytearray(vid)), ("v2", bytearray(
+        V.make_video("v2", w=8, h=8, n_frames=4)))], "video_id string, bytes binary")
+    out = MM.frame_sample(df, every_n=3).collect()
+    got = {(r["video_id"], r["frame_idx"]) for r in out}
+    assert got == {("v1", 0), ("v1", 3), ("v1", 6), ("v2", 0), ("v2", 3)}
+    by_key = {(r["video_id"], r["frame_idx"]): r for r in out}
+    r = by_key[("v1", 3)]
+    assert (r["w"], r["h"], r["fmt"]) == (16, 12, "hypng")
+    # sampled frame re-encoded losslessly → decodes to the exact frame
+    assert np.array_equal(decode(bytes(r["bytes"])), frames[3])
+
+
+def test_frame_sample_composes_with_image_stats(spark):
+    from hyperion_crawler_spark.functions import video as V
+
+    vid = V.make_solid_video([10, 200, 30, 40], w=8, h=8)
+    df = spark.createDataFrame([("v", bytearray(vid))], "video_id string, bytes binary")
+    frames = MM.frame_sample(df, every_n=2).withColumnRenamed("video_id", "image_id")
+    stats = {r["image_id"]: r for r in MM.image_stats(frames).collect()}
+    # solid frames → brightness is exactly the level; frame 0 picked
+    assert stats["v"]["brightness"] in (10.0, 30.0)
+
+
+def test_audio_codec_roundtrip_and_window_stats(spark):
+    from hyperion_crawler_spark.functions import audio as A
+
+    sq = A.make_square_wave(amplitude=500, half_period=10, n=1024)
+    b = A.encode_audio(sq, sample_rate=8000)
+    samples, sr = A.decode_audio(b)
+    assert sr == 8000 and np.array_equal(samples, sq)
+
+    df = spark.createDataFrame([("a1", bytearray(b))], "audio_id string, bytes binary")
+    rows = MM.audio_window_stats(df, window=256).collect()
+    assert len(rows) == 4
+    for r in rows:
+        assert r["mean_abs"] == 500.0 and r["max_abs"] == 500.0
+        assert r["duration_s"] == 1024 / 8000
+        # closed form: multiples of hp in [start+1, start+window-1]
+        s = r["window_idx"] * 256
+        assert r["zero_crossings"] == (s + 255) // 10 - s // 10
+
+    # noise clip: stats vs direct numpy over the same decoded samples
+    nb = A.make_audio("n1", n=700, sample_rate=4000)
+    ns, _ = A.decode_audio(nb)
+    df2 = spark.createDataFrame([("n1", bytearray(nb))], "audio_id string, bytes binary")
+    got = MM.audio_window_stats(df2, window=512).collect()
+    assert len(got) == 1  # trailing partial window dropped
+    seg = ns[:512].astype(np.int64)
+    assert got[0]["mean_abs"] == float(np.abs(seg).sum()) / 512
+    assert got[0]["max_abs"] == float(np.abs(seg).max())
+    assert got[0]["zero_crossings"] == int(np.count_nonzero(seg[:-1] * seg[1:] < 0))
+
+
+def test_audio_features_array_contract(spark):
+    from hyperion_crawler_spark.functions import audio as A
+
+    b = A.encode_audio(A.make_square_wave(300, 7, 1024), sample_rate=16000)
+    df = spark.createDataFrame([("a", bytearray(b))], "audio_id string, bytes binary")
+    out = MM.audio_features(df, window=512).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["duration_s"] == 1024 / 16000
+    f = list(r["features"])
+    assert len(f) == 2 * 3  # two windows × (mean_abs, max_abs, zc)
+    assert f[0] == 300.0 and f[1] == 300.0
 
 
 def test_bytes_pruned_from_stats_output(spark, fixture_dfs):

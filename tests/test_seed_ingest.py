@@ -93,3 +93,40 @@ def test_seed_stream_replay_is_idempotent(spark, tmp_path):
     fr_after = sorted(r["url"] for r in
                       cat.table("frontier", "shard").read(spark).collect())
     assert fr_after == fr_before
+
+
+def test_ingest_into_fresh_store_survives_run_crawl(spark, tmp_path, fixture_dfs, crawl_cfg):
+    """Seeds streamed into a FRESH store must not be discarded when
+    run_crawl starts: the ingest commits its merges as round 0, so
+    run_crawl resumes from it instead of bootstrapping over it — and
+    init_frontier itself now refuses a store with committed rounds."""
+    import pytest
+
+    from hyperion_crawler_spark.plans.loop import run_crawl
+    from hyperion_crawler_spark.plans.round import init_frontier
+
+    store = str(tmp_path / "store")
+    cat = Catalog(store)
+    seeds_dir = str(tmp_path / "seeds")
+    corpus = fixture_dfs["corpus"]
+    image_id = corpus.select("image_id").first()["image_id"]
+    os.makedirs(seeds_dir, exist_ok=True)
+    t = pa.table({"url": pa.array(["https://h0.example.com/streamed"], pa.string()),
+                  "image_id": pa.array([image_id], pa.string()),
+                  "priority": pa.array([0.9], pa.float64())})
+    pq.write_table(t, os.path.join(seeds_dir, "b1.parquet"))
+    ingest_seed_stream(spark, cat, crawl_cfg, seeds_dir, str(tmp_path / "ckpt"))
+
+    # direct bootstrap on the ingested store must refuse
+    with pytest.raises(ValueError, match="committed rounds"):
+        init_frontier(spark, cat, crawl_cfg, fixture_dfs["seeds"])
+
+    run_crawl(spark, store, crawl_cfg, corpus=corpus,
+              links=fixture_dfs["links"], robots=fixture_dfs["robots"],
+              seeds=fixture_dfs["seeds"], n_rounds=1)
+    cat2 = Catalog(store)
+    fr = cat2.table("frontier", "shard").read(spark)
+    ar = cat2.table("archive", "shard").read(spark)
+    urls = {r["url"] for df in (fr, ar) if df is not None for r in df.collect()}
+    assert "https://h0.example.com/streamed" in urls, \
+        "streamed seed vanished across run_crawl bootstrap"

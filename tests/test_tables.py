@@ -374,3 +374,122 @@ def test_mor_overwrite_partitions_folds_deltas_first(spark, tmp_path):
     out = t.read(spark)
     assert set(out.columns) == {"k", "shard", "v"}
     assert _rows(out) == [(1, 1, "a"), (5, 2, "NEW")]  # 9 stays dead; shard-2 replaced
+
+
+def test_mor_duplicate_key_in_one_merge_is_deterministic(spark, tmp_path):
+    """Two upsert rows for the SAME key in one merge commit share
+    (_seq, _tomb); the delta reconcile must pick a deterministic
+    winner (max value row) — not whichever row the hash agg saw last —
+    or resumes stop being bit-identical."""
+    for i in range(3):
+        t = Catalog(str(tmp_path / f"s{i}")).table("d", "shard", merge_on_read=True)
+        t.compact_ratio = 0
+        t.append(spark.createDataFrame([(1, 1, "base")], "k int, shard int, v string"))
+        dup = spark.createDataFrame(
+            [(2, 2, "bb"), (2, 2, "aa"), (2, 2, "zz")], "k int, shard int, v string"
+        ).repartition(8)  # spread so agg order is genuinely arbitrary
+        t.merge(spark, dup, ["k"])
+        got = _rows(t.read(spark).filter(F.col("k") == 2))
+        assert got == [(2, 2, "zz")], got  # max value row, every run
+
+
+def test_catalog_table_flags_are_order_independent(spark, tmp_path):
+    """A bare cat.table('x') before the declaring call must not
+    downgrade the table: merge_on_read/partition_col/sort_cols upgrade
+    in place; a conflicting partition_col re-declaration raises."""
+    import pytest
+
+    cat = Catalog(str(tmp_path))
+    bare = cat.table("frontier")                      # careless first touch
+    declared = cat.table("frontier", "shard", merge_on_read=True,
+                         sort_cols=[F.col("v").desc()])
+    assert bare is declared
+    assert declared.merge_on_read and declared.partition_col == "shard"
+    assert declared.sort_cols is not None
+    # first merge on the upgraded handle is MoR (delta file), not CoW
+    declared.compact_ratio = 0  # tiny base would trip the ratio-fold
+    declared.append(spark.createDataFrame([(1, 1, 5)], "k int, shard int, v int"))
+    declared.merge(spark, spark.createDataFrame([(2, 2, 7)], "k int, shard int, v int"),
+                   ["k"])
+    assert any(f.get("kind") == "delta" for f in declared._live_files())
+    with pytest.raises(ValueError, match="conflicting"):
+        cat.table("frontier", "other_col")
+
+
+def test_rewrite_small_files_binpacks_per_partition(spark, tmp_path):
+    """Append-table maintenance: N appends × S shards leaves N·S small
+    files; rewrite_small_files folds them to one per shard, preserving
+    the row multiset, the per-file partition stats, and manifest meta."""
+    t = Catalog(str(tmp_path)).table("a", "shard")
+    for i in range(6):
+        t.append(spark.createDataFrame([(s, i) for s in range(4)],
+                                       "shard int, v int"),
+                 meta={"upto_round": i})
+    before = t._live_files()
+    assert len(before) == 24
+    rows_before = _rows(t.read(spark))
+    v = t.rewrite_small_files(spark, small_bytes=1 << 20)
+    assert v is not None
+    after = t._live_files(v)
+    assert len(after) == 4  # one consolidated file per shard
+    stats = sorted((f["part_min"], f["part_max"]) for f in after)
+    assert stats == [(0, 0), (1, 1), (2, 2), (3, 3)]
+    assert _rows(t.read(spark, version=v)) == rows_before
+    # meta (e.g. fetched_srcs coverage watermark) carried forward
+    assert t._manifest(v)["meta"] == {"upto_round": 5}
+    # nothing left to do → no-op
+    assert t.rewrite_small_files(spark, small_bytes=1 << 20) is None
+
+
+def test_rewrite_small_files_skips_delta_tables_and_big_files(spark, tmp_path):
+    t = Catalog(str(tmp_path)).table("m", "shard", merge_on_read=True)
+    t.compact_ratio = 0
+    t.append(spark.createDataFrame([(1, 1, "a")], "k int, shard int, v string"))
+    t.merge(spark, spark.createDataFrame([(2, 1, "b")],
+                                         "k int, shard int, v string"), ["k"])
+    assert any(f.get("kind") == "delta" for f in t._live_files())
+    assert t.rewrite_small_files(spark, small_bytes=1 << 20) is None
+    # big-file guard: files above the threshold are never rewritten
+    t2 = Catalog(str(tmp_path)).table("b", "shard")
+    t2.append(spark.createDataFrame([(1, 10)], "shard int, v int"))
+    t2.append(spark.createDataFrame([(1, 11)], "shard int, v int"))
+    assert t2.rewrite_small_files(spark, small_bytes=10) is None
+
+
+def test_expire_with_rewrite_bounds_crawl_file_count(
+        spark, fixture_dfs, crawl_cfg, tmp_path_factory):
+    """The 10^5-round shape: periodic Catalog.expire with rewrite keeps
+    append tables at O(partition values) files, and the crawl resumes
+    from the consolidated snapshots with identical final state."""
+    from hyperion_crawler_spark.plans.loop import run_crawl
+
+    kw = dict(corpus=fixture_dfs["corpus"], links=fixture_dfs["links"],
+              robots=fixture_dfs["robots"], seeds=fixture_dfs["seeds"])
+    s_m = str(tmp_path_factory.mktemp("maint"))
+    s_p = str(tmp_path_factory.mktemp("plain"))
+    run_crawl(spark, s_m, crawl_cfg, n_rounds=4, **kw)
+    cat = Catalog(s_m)
+    cat.expire(keep_rounds=1, spark=spark, rewrite_small_bytes=32 << 20)
+    run_crawl(spark, s_m, crawl_cfg, n_rounds=8, **kw)   # resumes rounds 5-8
+    cat.expire(keep_rounds=1, spark=spark, rewrite_small_bytes=32 << 20)
+
+    run_crawl(spark, s_p, crawl_cfg, n_rounds=8, **kw)   # uninterrupted control
+
+    for tbl in ("archive", "results"):
+        n_files = len(Catalog(s_m).table(tbl, None)._live_files())
+        pvals = {(f.get("part_min"), f.get("part_max"))
+                 for f in Catalog(s_m).table(tbl, None)._live_files()}
+        assert n_files <= len(pvals), \
+            f"{tbl}: {n_files} files for {len(pvals)} partition values"
+
+    def state(store):
+        out = []
+        for tbl in ("frontier", "archive", "results"):
+            df = Catalog(store).table(tbl, None).read(spark)
+            if df is not None:
+                cols = [c for c in df.columns if c != "psnr_db"]
+                out.append(sorted(tuple(r) for r in df.select(*cols).collect()))
+        return out
+
+    assert state(s_m) == state(s_p), \
+        "maintenance changed crawl semantics (must be content-identical)"
