@@ -277,6 +277,25 @@ def q23_lang_id(spark, sf):
                     TX.bpe_ish_token_count(F.col("text")).alias("n_subtokens"))
 
 
+def q23b_lang_scripts(spark, sf):
+    """Two-tier lang-ID (functions/text.lang_id_scripted): docs are
+    rewritten per doc_id % 8 into CJK / Hangul / Cyrillic / Arabic /
+    Greek / mixed fixtures; the Unicode-block tier routes non-Latin
+    scripts directly and Latin text (incl. the below-dominance mixed
+    case) falls back to the stopword argmax."""
+    d = _t(spark, sf, "documents")
+    m = F.col("doc_id") % 8
+    txt = (F.when(m == 0, F.lit("これは 日本語 の テキスト です"))
+           .when(m == 1, F.lit("한국어 텍스트 입니다 안녕하세요"))
+           .when(m == 2, F.lit("这是一段中文文本没有假名"))
+           .when(m == 3, F.lit("это русский текст привет мир"))
+           .when(m == 4, F.lit("هذا نص عربي قصير"))
+           .when(m == 5, F.lit("αυτό είναι ελληνικό κείμενο"))
+           .when(m == 6, F.concat(F.lit("привет "), F.col("text")))
+           .otherwise(F.col("text")))
+    return d.select("doc_id", TX.lang_id_scripted(txt).alias("lang_guess"))
+
+
 def q24_fingerprint(spark, sf):
     d = _t(spark, sf, "documents")
     return (d.select(TX.fingerprint(F.col("text")).alias("fp"))
@@ -772,6 +791,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q21_embedding_near_dup": q21_embedding_near_dup,
         "q22_text_quality": q22_text_quality,
         "q23_lang_id": q23_lang_id,
+        "q23b_lang_scripts": q23b_lang_scripts,
         "q24_fingerprint": q24_fingerprint,
         "q25_set_ops": q25_set_ops,
         "q26_rollup": q26_rollup,
@@ -876,6 +896,7 @@ def _sql_plane_sig(vec: str) -> str:
 # argmax tie-break mirrors functions/text.lang_id: fixed STOPWORDS
 # iteration order (first language hitting the max wins)
 _SQL_LANG_BEST = "greatest(" + ", ".join(f"s_{lg}" for lg in TX.STOPWORDS) + ")"
+_SQL_LANG_BEST_B = "greatest(" + ", ".join(f"sb_{lg}" for lg in TX.STOPWORDS) + ")"
 
 
 def _cc_iters_cte(iters: int) -> str:
@@ -909,6 +930,7 @@ def oracle_sql() -> dict[str, str]:
     ]
     g = _sql_ngrams("text", 3)
     sw = {lg: _sql_stopword_hits("text", lg) for lg in TX.STOPWORDS}
+    swb = {lg: _sql_stopword_hits("txt", lg) for lg in TX.STOPWORDS}
     punct = "length(regexp_replace(text, '[^.,;:!?]', '', 'g'))"
     upper = "length(regexp_replace(text, '[^A-Z]', '', 'g'))"
     ntok = "len(string_split(text, ' '))"
@@ -1161,6 +1183,38 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
                    CAST(len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]'))
                         AS INTEGER) AS n_subtokens
+            FROM s
+        """,
+        "q23b_lang_scripts": f"""
+            WITH base AS (
+              SELECT doc_id,
+                     CASE doc_id % 8
+                       WHEN 0 THEN 'これは 日本語 の テキスト です'
+                       WHEN 1 THEN '한국어 텍스트 입니다 안녕하세요'
+                       WHEN 2 THEN '这是一段中文文本没有假名'
+                       WHEN 3 THEN 'это русский текст привет мир'
+                       WHEN 4 THEN 'هذا نص عربي قصير'
+                       WHEN 5 THEN 'αυτό είναι ελληνικό κείμενο'
+                       WHEN 6 THEN 'привет ' || text
+                       ELSE text END AS txt
+              FROM documents),
+            s AS (
+              SELECT doc_id, txt,
+                     {", ".join(f"{swb[lg]} AS sb_{lg}" for lg in TX.STOPWORDS)}
+              FROM base)
+            SELECT doc_id,
+                   CASE
+                     {" ".join(
+                         f"WHEN {TX.SCRIPT_DOMINANCE_DEN} * "
+                         f"len(regexp_extract_all(txt, '[{rng}]')) > "
+                         f"{TX.SCRIPT_DOMINANCE_NUM} * length(txt) "
+                         f"THEN '{lg}'"
+                         for lg, rng in TX.SCRIPT_RANGES)}
+                     ELSE CASE WHEN {_SQL_LANG_BEST_B} <= 0 THEN 'unknown'
+                          {" ".join(f"WHEN sb_{lg} = {_SQL_LANG_BEST_B} THEN '{lg}'"
+                                    for lg in TX.STOPWORDS)}
+                          END
+                   END AS lang_guess
             FROM s
         """,
         "q24_fingerprint": """

@@ -60,6 +60,45 @@ def lang_id(text: Column) -> Column:
     return expr
 
 
+# Unicode-script ranges for the pre-classifier tier, in ROUTING ORDER:
+# kana must outrank CJK ideographs (Japanese mixes kana + kanji;
+# Chinese has ideographs only), hangul is unambiguous, then the
+# single-script alphabets. Each entry: (lang, char-class range —
+# literal endpoints so the identical pattern runs under Java regex
+# AND RE2/DuckDB).
+SCRIPT_RANGES = [
+    ("ja", f"{chr(0x3040)}-{chr(0x30FF)}"),  # hiragana + katakana
+    ("ko", f"{chr(0xAC00)}-{chr(0xD7A3)}"),  # hangul syllables
+    ("zh", f"{chr(0x4E00)}-{chr(0x9FFF)}"),  # CJK unified ideographs
+    ("ru", f"{chr(0x0400)}-{chr(0x04FF)}"),  # cyrillic
+    ("ar", f"{chr(0x0600)}-{chr(0x06FF)}"),  # arabic
+    ("el", f"{chr(0x0370)}-{chr(0x03FF)}"),  # greek
+]
+
+# dominance threshold: a script claims the text when its chars exceed
+# 30% of all chars — integer-compared (10·count > 3·len) so the Spark
+# expression and the SQL oracle agree exactly
+SCRIPT_DOMINANCE_NUM, SCRIPT_DOMINANCE_DEN = 3, 10
+
+
+def lang_id_scripted(text: Column) -> Column:
+    """Two-tier language ID: a Unicode-block pre-classifier routes
+    non-Latin scripts directly (stopword lists are useless there —
+    the 7-language Latin heuristic would answer 'unknown' for ALL of
+    CJK/Cyrillic/Arabic/Greek), and Latin-script text falls through to
+    the stopword argmax (``lang_id``). A script must be dominant
+    (> 30% of chars) to claim the text, so a Latin document quoting a
+    few foreign words still routes to the stopword tier."""
+    n = F.length(text)
+    expr = None
+    for lg, rng in SCRIPT_RANGES:
+        cnt = F.regexp_count(text, F.lit(f"[{rng}]"))
+        cond = cnt * SCRIPT_DOMINANCE_DEN > n * SCRIPT_DOMINANCE_NUM
+        expr = F.when(cond, F.lit(lg)) if expr is None else \
+            expr.when(cond, F.lit(lg))
+    return expr.otherwise(lang_id(text))
+
+
 def quality_metrics(text: Column) -> list[Column]:
     """Quality-score feature columns: n_chars, n_tokens, mean token
     length, punctuation ratio, stopword(en) ratio, uppercase ratio."""

@@ -34,11 +34,11 @@ from ..config import CrawlConfig
 SEED_SCHEMA = "url string, image_id string, priority double"
 
 
-def ingest_seed_stream(spark: SparkSession, cat, cfg: CrawlConfig,
-                       seed_dir: str, checkpoint_dir: str) -> dict:
-    """Drain all currently-available seed files (``availableNow``
-    trigger — deterministic for tests; drop the trigger for a
-    continuous daemon) into the frontier. Returns counters."""
+def _make_batch(spark: SparkSession, cat, cfg: CrawlConfig):
+    """Build the shared foreachBatch body → ``(totals, batch_fn)``.
+    Both the availableNow drain and the processingTime daemon run this
+    exact function, so their exactly-once/replay semantics are the
+    same by construction."""
     from ..plans.round import FRONTIER_COLS, _frontier_table, canonical_url_rows
     from ..state.seen import probe_and_update
 
@@ -88,9 +88,38 @@ def ingest_seed_stream(spark: SparkSession, cat, cfg: CrawlConfig,
         # the micro-batch done only after this returns
         cat.commit_round(round_idx, versions)
 
+    return totals, _batch
+
+
+def ingest_seed_stream(spark: SparkSession, cat, cfg: CrawlConfig,
+                       seed_dir: str, checkpoint_dir: str) -> dict:
+    """Drain all currently-available seed files (``availableNow``
+    trigger — deterministic for tests; ``start_seed_ingest_daemon``
+    for the continuous form) into the frontier. Returns counters."""
+    totals, batch = _make_batch(spark, cat, cfg)
     stream = spark.readStream.schema(SEED_SCHEMA).parquet(seed_dir)
-    q = (stream.writeStream.foreachBatch(_batch)
+    q = (stream.writeStream.foreachBatch(batch)
          .option("checkpointLocation", checkpoint_dir)
          .trigger(availableNow=True).start())
     q.awaitTermination()
     return totals
+
+
+def start_seed_ingest_daemon(spark: SparkSession, cat, cfg: CrawlConfig,
+                             seed_dir: str, checkpoint_dir: str,
+                             processing_time: str = "1 seconds"):
+    """Continuous form of ``ingest_seed_stream``: a ``processingTime``
+    trigger polls ``seed_dir`` forever, merging each new drop into the
+    frontier as it lands (the long-running sidecar a live crawl runs
+    next to its round loop). Returns ``(query, totals)`` — the caller
+    owns the StreamingQuery (``query.stop()`` for a clean shutdown;
+    in-flight batches finish their round-log fold first, so stop points
+    are always exactly-once consistent) and ``totals`` updates live as
+    batches commit. The micro-batch body is byte-identical to the
+    drain form — only the trigger differs."""
+    totals, batch = _make_batch(spark, cat, cfg)
+    stream = spark.readStream.schema(SEED_SCHEMA).parquet(seed_dir)
+    q = (stream.writeStream.foreachBatch(batch)
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(processingTime=processing_time).start())
+    return q, totals

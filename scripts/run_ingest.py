@@ -37,15 +37,60 @@ def main() -> None:
                     help="streaming checkpoint dir (default <store>/_ingest_ckpt)")
     ap.add_argument("--shards", type=int, default=32)
     ap.add_argument("--master", default=None)
+    ap.add_argument("--continuous", default=None, metavar="INTERVAL",
+                    help="run as a daemon with a processingTime trigger "
+                         "(e.g. '5 seconds'); Ctrl-C / SIGTERM stops "
+                         "cleanly after the in-flight batch commits")
     args = ap.parse_args()
 
     spark = get_spark(app="hyperion-ingest", master=args.master)
     cfg = CrawlConfig(n_shards=args.shards)
     cat = Catalog(args.store)
     ckpt = args.checkpoint or os.path.join(args.store, "_ingest_ckpt")
-    out = ingest_seed_stream(spark, cat, cfg, args.seed_dir, ckpt)
-    print(json.dumps({"event": "ingest", "seed_dir": args.seed_dir, **out}))
-    spark.stop()
+    if args.continuous:
+        from hyperion_crawler_spark.streaming.seed_ingest import (
+            start_seed_ingest_daemon,
+        )
+
+        import signal
+
+        q, totals = start_seed_ingest_daemon(
+            spark, cat, cfg, args.seed_dir, ckpt,
+            processing_time=args.continuous)
+        print(json.dumps({"event": "ingest_daemon_started",
+                          "seed_dir": args.seed_dir,
+                          "interval": args.continuous}), flush=True)
+        # Graceful shutdown: the handler only flips a flag — calling
+        # into the JVM (q.stop / cancelAllJobs, PySpark's default
+        # SIGINT behavior) from signal context hits a py4j reentrancy
+        # error mid-read. The main thread polls awaitTermination with
+        # a timeout and stops the query itself; the in-flight batch
+        # finishes its round-log fold first (exactly-once stop point).
+        stop_flag: list = []
+        for sig in (signal.SIGINT, signal.SIGTERM):
+            signal.signal(sig, lambda *_a: stop_flag.append(1))
+        try:
+            while not stop_flag and q.isActive:
+                q.awaitTermination(1)
+            q.stop()
+            q.awaitTermination()
+        except Exception:
+            # The signal reached the JVM first and its shutdown hook
+            # already tore the context down (spark-submit routes
+            # signals to the JVM, not this driver). An abrupt stop is
+            # still exactly-once by construction: the round log folds
+            # LAST per batch and replays are Bloom no-ops
+            # (test_seed_stream_replay_is_idempotent).
+            pass
+        print(json.dumps({"event": "ingest_daemon_stopped", **totals}),
+              flush=True)
+    else:
+        out = ingest_seed_stream(spark, cat, cfg, args.seed_dir, ckpt)
+        print(json.dumps({"event": "ingest", "seed_dir": args.seed_dir, **out}))
+    try:
+        spark.stop()
+    except Exception:
+        pass  # JVM may already be down after a signal-driven shutdown
 
 
 if __name__ == "__main__":

@@ -130,3 +130,43 @@ def test_ingest_into_fresh_store_survives_run_crawl(spark, tmp_path, fixture_dfs
     urls = {r["url"] for df in (fr, ar) if df is not None for r in df.collect()}
     assert "https://h0.example.com/streamed" in urls, \
         "streamed seed vanished across run_crawl bootstrap"
+
+
+def test_continuous_trigger_daemon_merges_midstream(spark, tmp_path):
+    """processingTime daemon: drops landing while the query is LIVE are
+    merged into the frontier without restarting; q.stop() is clean and
+    the final state matches what an availableNow drain would produce."""
+    import time
+
+    from hyperion_crawler_spark.streaming.seed_ingest import (
+        start_seed_ingest_daemon,
+    )
+
+    cfg = CrawlConfig(n_shards=4)
+    cat = Catalog(str(tmp_path / "store"))
+    seeds = str(tmp_path / "seeds")
+    _write_seeds(seeds, "b1.parquet", ["https://a.com/1"])
+    q, totals = start_seed_ingest_daemon(
+        spark, cat, cfg, seeds, str(tmp_path / "ckpt"),
+        processing_time="1 seconds")
+    try:
+        deadline = time.time() + 60
+        while totals["new_urls"] < 1 and time.time() < deadline:
+            time.sleep(0.3)
+        assert totals["new_urls"] == 1, "first drop never merged"
+        # mid-stream drop while the query is live
+        _write_seeds(seeds, "b2.parquet", ["https://b.com/2", "https://a.com/1"])
+        while totals["new_urls"] < 2 and time.time() < deadline:
+            time.sleep(0.3)
+        assert totals["new_urls"] == 2, "mid-stream drop never merged"
+        fr = sorted(r["url"] for r in
+                    cat.table("frontier", "shard").read(spark).collect())
+        assert fr == ["https://a.com/1", "https://b.com/2"]
+    finally:
+        q.stop()
+    # clean stop: a fresh drain over the same dir+checkpoint is a no-op
+    out = ingest_seed_stream(spark, cat, cfg, seeds, str(tmp_path / "ckpt"))
+    assert out["new_urls"] == 0
+    fr2 = sorted(r["url"] for r in
+                 cat.table("frontier", "shard").read(spark).collect())
+    assert fr2 == ["https://a.com/1", "https://b.com/2"]
