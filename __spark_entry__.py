@@ -235,9 +235,13 @@ def q16_ngram_jaccard(spark, sf):
 
 
 def q17_minhash_signature(spark, sf):
+    # rows form: sig is an ATTRIBUTE, so the 16 element reads are O(1)
+    # array lookups (the Column form would re-run all 16 permutations'
+    # shingle hashing per projected element — 256× the SHA-256 work)
     d = _t(spark, sf, "documents").filter(F.col("doc_id") < 100)
-    sig = DD.minhash_signature(F.col("text"))
-    return d.select("doc_id", *[sig[j].alias(f"sig_{j}") for j in range(DD.N_MINHASH)])
+    s = DD.minhash_signature_rows(d, "doc_id", "text")
+    return s.select("doc_id", *[F.col("sig")[j].alias(f"sig_{j}")
+                                for j in range(DD.N_MINHASH)])
 
 
 def q18_minhash_lsh_pairs(spark, sf):
@@ -493,9 +497,9 @@ def q37_winnowing(spark, sf):
     documents table — k=8 char-grams, window w=4, exploded to
     (doc_id, fp) rows for value-level oracle comparison."""
     d = _t(spark, sf, "documents").filter(F.col("doc_id") < 200)
-    return d.select(
-        "doc_id",
-        F.explode(DD.winnowing_fingerprints(F.col("text"), 8, 4)).alias("fp"))
+    # persist = generator barrier (see dedup.winnowing_pairs)
+    fpr = DD.winnowing_fingerprint_rows(d, "doc_id", "text", 8, 4).persist()
+    return fpr.select("doc_id", F.explode("fps").alias("fp"))
 
 
 def q38_winnowing_pairs(spark, sf):

@@ -126,13 +126,41 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
 
 # ------------------------------------------------------------- MinHash
 def minhash_signature(text: Column) -> Column:
-    """Array of N_MINHASH signature longs over word 3-gram shingles."""
+    """Array of N_MINHASH signature longs over word 3-gram shingles.
+
+    PERF NOTE: single-Column form — the shingle-hash subtree is
+    re-evaluated once per permutation (no CSE across HOF lambdas),
+    16× the SHA-256 work. Fine for unit vectors / oracle mirrors;
+    DataFrame paths use ``minhash_signature_rows``."""
     hashes = F.transform(word_ngrams(text, 3), lambda s: portable_hash60(s) % MINHASH_DOMAIN)
     sigs = [
         F.array_min(F.transform(hashes, lambda x: (F.lit(a) * x + F.lit(b)) % MINHASH_P))
         for (a, b) in MINHASH_PERMS
     ]
     return F.array(*sigs)
+
+
+def minhash_signature_rows(df: DataFrame, id_col: str, text_col: str,
+                           keep_text: bool = False) -> DataFrame:
+    """``(doc_id[, _text], n_shingles, sig)`` — efficient DataFrame
+    form of ``minhash_signature``, identical values: the shingle-hash
+    array materializes ONCE as an attribute, then all N_MINHASH
+    permutation minima read it (the same attribute-barrier fix as
+    ``winnowing_fingerprint_rows``)."""
+    text = F.col(text_col)
+    base = [F.col(id_col).alias("doc_id")] + \
+        ([text.alias("_text")] if keep_text else [])
+    h = df.select(*base, F.transform(
+        word_ngrams(text, 3),
+        lambda s: portable_hash60(s) % MINHASH_DOMAIN).alias("_mh"))
+    sig = F.array(*[
+        F.array_min(F.transform(F.col("_mh"),
+                                lambda x: (F.lit(a) * x + F.lit(b)) % MINHASH_P))
+        for (a, b) in MINHASH_PERMS
+    ])
+    keep = ["doc_id"] + (["_text"] if keep_text else [])
+    return h.select(*keep, F.size("_mh").alias("n_shingles"),
+                    sig.alias("sig"))
 
 
 def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
@@ -146,10 +174,12 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     exact n-gram Jaccard so false-positive buckets are filtered; LSH
     false negatives are the standard recall trade-off (16 sigs / 4
     bands → s-curve threshold ≈ (1/4)^(1/4) ≈ 0.71)."""
-    with_sig = df.select(
-        F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text"),
-        minhash_signature(F.col(text_col)).alias("sig"),
-    ).filter(F.size(word_ngrams(F.col("_text"), 3)) > 0)
+    # persisted for the same generator-inlining reason as
+    # winnowing_pairs: the band explode + self-join would otherwise
+    # re-derive all 16 permutation minima per reference
+    with_sig = minhash_signature_rows(
+        df, id_col, text_col, keep_text=True).filter(
+            F.col("n_shingles") > 0).persist()
     # ^ docs with zero shingles (< 3 tokens) have undefined signatures —
     # all-null sigs would collide into ONE degenerate band bucket and
     # their Jaccard is 0/0; by definition they cannot be n-gram
@@ -171,12 +201,16 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
                 F.col("a._text").alias("t1"), F.col("b._text").alias("t2"))
         .distinct()
     )
-    g1 = word_ngrams(F.col("t1"), 3)
-    g2 = word_ngrams(F.col("t2"), 3)
-    inter = F.size(F.array_intersect(g1, g2))
-    uni = F.size(g1) + F.size(g2) - inter
+    # shingle arrays as attributes first (one split/transform per side,
+    # not one per reference — same HOF-CSE hazard as the signatures)
+    shingled = cand.select(
+        "id1", "id2",
+        word_ngrams(F.col("t1"), 3).alias("_g1"),
+        word_ngrams(F.col("t2"), 3).alias("_g2"))
+    inter = F.size(F.array_intersect(F.col("_g1"), F.col("_g2")))
+    uni = F.size(F.col("_g1")) + F.size(F.col("_g2")) - inter
     return (
-        cand.withColumn("jaccard", F.round(inter / uni, 6))
+        shingled.withColumn("jaccard", F.round(inter / uni, 6))
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id1", "id2", "jaccard")
     )
@@ -195,7 +229,12 @@ def winnowing_fingerprints(text: Column, k: int = 8, w: int = 4) -> Column:
 
     Scale shape: one projection pass per document; candidate pairs come
     from an equi-join on exploded fingerprints (same bucketed shape as
-    the shingle join in ngram_jaccard_pairs)."""
+    the shingle join in ngram_jaccard_pairs).
+
+    PERF NOTE: this single-Column form re-evaluates the gram-hash
+    subtree per window (no CSE across HOF lambdas) — O(L²) hashing.
+    Fine for unit vectors / oracle mirrors; every DataFrame path must
+    use ``winnowing_fingerprint_rows`` (identical values, O(L))."""
     n_grams = F.length(text) - (k - 1)
     grams = F.when(
         n_grams >= 1,
@@ -212,8 +251,43 @@ def winnowing_fingerprints(text: Column, k: int = 8, w: int = 4) -> Column:
     return F.array_sort(F.array_distinct(minima))
 
 
+def winnowing_fingerprint_rows(df: DataFrame, id_col: str, text_col: str,
+                               k: int = 8, w: int = 4) -> DataFrame:
+    """``(doc_id, fps array<long>)`` — the efficient DataFrame form of
+    ``winnowing_fingerprints``, identical values.
+
+    The split into TWO projections is load-bearing: in the one-Column
+    form the k-gram hash array is an expression SUBTREE, and Catalyst
+    does not common-subexpression-eliminate across higher-order-
+    function lambdas — every window's ``array_min(slice(hashes,i,w))``
+    re-evaluates ALL O(L) SHA-256 gram hashes, i.e. O(L²) hashing per
+    document (measured 46 s vs 0.7 s over 200 × 300-char docs at
+    sf0.1). Materializing the hash array as a real ATTRIBUTE between
+    projections makes each slice an O(w) array read; CollapseProject
+    keeps the barrier because the produced column is non-cheap and
+    multiply-referenced."""
+    text = F.col(text_col)
+    n_grams = F.length(text) - (k - 1)
+    grams = F.when(
+        n_grams >= 1,
+        F.transform(F.sequence(F.lit(1), n_grams),
+                    lambda i: text.substr(i, F.lit(k))),
+    ).otherwise(F.array().cast("array<string>"))
+    hashes = F.transform(grams, lambda g: portable_hash60(g))
+    h = df.select(F.col(id_col).alias("doc_id"), hashes.alias("_h"))
+    hh = F.col("_h")
+    n_win = F.size(hh) - (w - 1)
+    minima = F.when(
+        n_win >= 1,
+        F.transform(F.sequence(F.lit(1), n_win),
+                    lambda i: F.array_min(F.slice(hh, i, w))),
+    ).otherwise(F.array().cast("array<long>"))
+    return h.select("doc_id", F.array_sort(F.array_distinct(minima)).alias("fps"))
+
+
 def winnowing_pairs(df: DataFrame, id_col: str, text_col: str,
-                    k: int = 8, w: int = 4, min_shared: int = 2) -> DataFrame:
+                    k: int = 8, w: int = 4, min_shared: int = 2,
+                    handles: list | None = None) -> DataFrame:
     """Candidate near-dup pairs from shared winnowing fingerprints:
     explode each document's fingerprint set → self-equi-join on the
     fingerprint value (the only shuffle — identical bucketed shape to
@@ -223,10 +297,20 @@ def winnowing_pairs(df: DataFrame, id_col: str, text_col: str,
     sharing a substring of length ≥ k+w-1 appears with at least one
     shared fingerprint; ``min_shared`` > 1 filters incidental single
     collisions. Returns (id1, id2, n_shared) with id1 < id2."""
-    fp = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(winnowing_fingerprints(F.col(text_col), k, w)).alias("fp"),
-    )
+    # The fingerprint rows are PERSISTED before the explode: a plain
+    # projection boundary does not survive generator extraction — the
+    # optimizer inlines the minima expression into the Generate node
+    # and the self-join then evaluates the O(L) fingerprint pipeline
+    # once per reference (measured minutes vs ~3 s over 200 docs at
+    # sf0.1). The cache is O(docs · fingerprints) longs — tiny next to
+    # the join it feeds — and is exactly the frame both join sides
+    # want to share. ``handles``: as in ``dup_clusters`` — pass a list
+    # to unpersist after materializing; otherwise ContextCleaner
+    # reclaims it when the plan is GC'd.
+    fpr = winnowing_fingerprint_rows(df, id_col, text_col, k, w).persist()
+    if handles is not None:
+        handles.append(fpr)
+    fp = fpr.select("doc_id", F.explode("fps").alias("fp"))
     a, b = fp.alias("a"), fp.alias("b")
     return (
         a.join(b, (F.col("a.fp") == F.col("b.fp"))
@@ -322,9 +406,17 @@ def dup_clusters(pairs: DataFrame, id1: str = "id1", id2: str = "id2",
                 .groupBy("node").agg(F.min("label").alias("label")))
 
     if iters is not None:
+        # LAZY localCheckpoint per iteration: ``step`` references its
+        # input labels TWICE (join probe + union), so a plain nested
+        # plan doubles per iteration — 2^iters copies of the label
+        # subtree, each re-joining the (cached) edges; measured ~9.6 s
+        # for iters=4 over 200 docs' winnowing pairs vs ~2 s broken.
+        # Lazy (not eager) keeps the returned frame a plan, so callers'
+        # laziness/timing semantics are unchanged; the first action
+        # materializes each iteration exactly once.
         out = labels
         for _ in range(iters):
-            out = step(out)
+            out = step(out).localCheckpoint(eager=False)
         if handles is not None:
             handles.append(edges)
         return out.select(F.col("node").alias(node_col),

@@ -303,3 +303,19 @@ def test_keep_cluster_representatives(spark):
     plan = kept._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan  # the corpus must not shuffle
     assert "Exchange hashpartitioning" not in plan.split("BroadcastHashJoin")[0]
+
+
+def test_rows_forms_match_column_forms(spark):
+    """The attribute-barrier (O(L)) forms must produce byte-identical
+    values to the single-Column reference forms on the same docs."""
+    d = _with_variants(_docs(spark, 20))
+    col_fp = {(r["doc_id"], tuple(r["f"])) for r in d.select(
+        "doc_id", DD.winnowing_fingerprints(F.col("text"), 8, 4).alias("f")).collect()}
+    row_fp = {(r["doc_id"], tuple(r["fps"])) for r in
+              DD.winnowing_fingerprint_rows(d, "doc_id", "text", 8, 4).collect()}
+    assert col_fp == row_fp
+    col_sig = {(r["doc_id"], tuple(r["s"])) for r in d.select(
+        "doc_id", DD.minhash_signature(F.col("text")).alias("s")).collect()}
+    row_sig = {(r["doc_id"], tuple(r["sig"])) for r in
+               DD.minhash_signature_rows(d, "doc_id", "text").collect()}
+    assert col_sig == row_sig
