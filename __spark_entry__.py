@@ -770,6 +770,103 @@ def q52_audio_windows(spark, sf):
     return audio_window_stats(clips, window=512)
 
 
+def q53_mix_sample(spark, sf):
+    """Dataset mixing: deterministic per-source hash-sampling rates
+    (operators/selection.stratified_mix). Rates are exact binary
+    fractions so the rate·10000 threshold is exact in BOTH double
+    (Spark) and decimal (DuckDB) arithmetic — no boundary divergence."""
+    from hyperion_crawler_spark.operators.selection import stratified_mix
+
+    d = _t(spark, sf, "documents").select("doc_id", "source")
+    out = stratified_mix(d, "source", "doc_id",
+                         {"src0": 1.0, "src1": 0.5, "src2": 0.25,
+                          "src3": 0.125},
+                         default_rate=0.0625)
+    return out.select("doc_id", "source")
+
+
+def q54_decontaminate(spark, sf):
+    """Benchmark decontamination (8-gram overlap rule): benchmark texts
+    are 16-token windows cut from every 23rd document, so exactly those
+    documents share 8-grams with the benchmark and must be dropped."""
+    from hyperion_crawler_spark.operators.dedup import decontaminate
+
+    d = _t(spark, sf, "documents").select("doc_id", "source", "text")
+    bench = d.filter(F.col("doc_id") % 23 == 0).select(
+        F.array_join(F.slice(F.split(F.col("text"), " "), 5, 16), " ")
+        .alias("text"))
+    clean = decontaminate(d, bench, "doc_id", "text", n=8)
+    return clean.select("doc_id", "source")
+
+
+def q55_span_dedup(spark, sf):
+    """Intra-document repeated-span removal: each text is prefixed with
+    a DOUBLED 20-token block, so its 3rd+4th 10-token chunks are exact
+    repeats of the 1st+2nd and must be scrubbed; the reassembled text
+    is value-compared."""
+    from hyperion_crawler_spark.operators.dedup import dedup_repeated_spans
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    rep = F.array_join(F.slice(F.split(F.col("text"), " "), 1, 20), " ")
+    doubled = d.select(
+        "doc_id",
+        F.concat(rep, F.lit(" "), rep, F.lit(" "), F.col("text")).alias("text"))
+    return dedup_repeated_spans(doubled, "doc_id", "text", span_tokens=10)
+
+
+def q57_pq_topk(spark, sf):
+    """Product-quantization ADC ANN (operators/similarity.pq_topk) —
+    the compressed-index scale path beside IVF/LSH. No oracle entry by
+    design (approximate by construction; codebooks are a bounded-sample
+    Lloyd job) — recall vs brute force is measured in
+    tests/test_dedup_similarity.py; the driver records the rows-only
+    check."""
+    e = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+    corpus = e.filter(F.col("vec_id") < 2000)
+    queries_df = corpus.filter(F.col("vec_id") % 100 == 0)
+    return SIM.pq_topk(queries_df, corpus, dim=64, k=5)
+
+
+def q57b_pq_exact(spark, sf):
+    """PQ in exact mode: sample == corpus and one centroid per sample
+    sub-vector, so every vector reconstructs to itself and the ADC scan
+    degenerates to exact scoring. The PQ candidates (taken with slack,
+    k=10) are then RE-SCORED with the Catalyst cosine and re-ranked —
+    so the 6-decimal values hash-match the same SQL brute force as
+    q35b, while the candidate SET still comes from the full PQ
+    machinery (train → encode → ADC scan → partial top-k)."""
+    e = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+    corpus = e.filter(F.col("vec_id") < 2000)
+    queries_df = corpus.filter(F.col("vec_id") % 100 == 0)
+    cand = SIM.pq_topk(queries_df, corpus, dim=64, k=10, m_blocks=8,
+                       k_codes=1_000_000, sample_cap=1_000_000)
+    q = corpus.select(F.col("vec_id").alias("q_id"),
+                      F.col("embedding").alias("q_vec"))
+    n = corpus.select(F.col("vec_id").alias("n_id"),
+                      F.col("embedding").alias("n_vec"))
+    from pyspark.sql import Window
+
+    rescored = (cand.select("q_id", "n_id").join(q, "q_id").join(n, "n_id")
+                .select("q_id", "n_id",
+                        F.round(SIM.cosine(F.col("q_vec"), F.col("n_vec")), 6)
+                        .alias("cos")))
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(),
+                                           F.col("n_id").asc())
+    return (rescored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 5)
+            .select("q_id", "n_id", "cos", "rank"))
+
+
+def q56_token_freq(spark, sf):
+    """Corpus token-frequency head: top 50 tokens by count with a
+    deterministic (n DESC, token ASC) tie-break — the vocabulary/
+    frequency profile every corpus analysis starts with."""
+    d = _t(spark, sf, "documents")
+    return (d.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+            .groupBy("token").agg(F.count("*").alias("n"))
+            .orderBy(F.col("n").desc(), F.col("token").asc()).limit(50))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_first_wins_dedup": q01_first_wins_dedup,
@@ -826,6 +923,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q50_range_join": q50_range_join,
         "q51_frame_sample": q51_frame_sample,
         "q52_audio_windows": q52_audio_windows,
+        "q53_mix_sample": q53_mix_sample,
+        "q54_decontaminate": q54_decontaminate,
+        "q55_span_dedup": q55_span_dedup,
+        "q56_token_freq": q56_token_freq,
+        "q57_pq_topk": q57_pq_topk,
+        "q57b_pq_exact": q57b_pq_exact,
     }
 
 
@@ -1221,6 +1324,58 @@ def oracle_sql() -> dict[str, str]:
                    END AS lang_guess
             FROM s
         """,
+        "q53_mix_sample": f"""
+            SELECT doc_id, source FROM documents
+            WHERE {_H60.format(x="concat('|', CAST(doc_id AS VARCHAR))")}
+                  % 10000 <
+                  (CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
+                               WHEN 'src2' THEN 0.25 WHEN 'src3' THEN 0.125
+                               ELSE 0.0625 END) * 10000
+        """,
+        "q54_decontaminate": f"""
+            WITH d AS (SELECT doc_id, source, text FROM documents),
+            b AS (SELECT array_to_string(string_split(text, ' ')[5:20], ' ')
+                         AS text FROM d WHERE doc_id % 23 = 0),
+            bsh AS (SELECT DISTINCT {_H60.format(x='g')} AS sh
+                    FROM (SELECT unnest({_sql_ngrams('text', 8)}) AS g FROM b)),
+            csh AS (SELECT doc_id, {_H60.format(x='g')} AS sh
+                    FROM (SELECT doc_id, unnest({_sql_ngrams('text', 8)}) AS g
+                          FROM d)),
+            bad AS (SELECT DISTINCT doc_id FROM csh
+                    WHERE sh IN (SELECT sh FROM bsh))
+            SELECT doc_id, source FROM d
+            WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+        """,
+        "q55_span_dedup": """
+            WITH d2 AS (
+              SELECT doc_id,
+                     array_to_string(string_split(text, ' ')[1:20], ' ')
+                     || ' ' ||
+                     array_to_string(string_split(text, ' ')[1:20], ' ')
+                     || ' ' || text AS text
+              FROM documents),
+            tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM d2),
+            ck AS (SELECT doc_id,
+                          [array_to_string(t[i*10+1 : i*10+10], ' ')
+                           for i in generate_series(
+                               0, CAST(ceil(len(t) / 10.0) AS BIGINT) - 1)]
+                          AS c
+                   FROM tk),
+            kp AS (SELECT doc_id, c,
+                          list_filter(c, (x, i) -> list_position(c, x) = i)
+                          AS k
+                   FROM ck)
+            SELECT doc_id, array_to_string(k, ' ') AS text_clean,
+                   CAST(len(c) AS INTEGER) AS n_chunks,
+                   CAST(len(k) AS INTEGER) AS n_kept
+            FROM kp
+        """,
+        "q56_token_freq": """
+            SELECT token, CAST(count(*) AS BIGINT) AS n
+            FROM (SELECT unnest(string_split(text, ' ')) AS token
+                  FROM documents)
+            GROUP BY token ORDER BY n DESC, token ASC LIMIT 50
+        """,
         "q24_fingerprint": """
             SELECT sha256(substr(lower(regexp_replace(text, '\\s+', ' ', 'g')), 1, 64)) AS fp,
                    count(*) AS n
@@ -1364,6 +1519,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT url, floor(rank * 1e6 + 0.5) / 1e6 AS pr FROM r2
         """,
         "q35b_ivf_exact": f"""
+            WITH c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 2000),
+            scored AS (
+              SELECT q.vec_id AS q_id, t.vec_id AS n_id,
+                     {_SQL_COS.format(a='q.embedding', b='t.embedding')} AS cos
+              FROM (SELECT * FROM c WHERE vec_id % 100 = 0) q
+              CROSS JOIN c t
+              WHERE q.vec_id != t.vec_id),
+            ranked AS (
+              SELECT q_id, n_id, cos, CAST(row_number() OVER (
+                PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS INTEGER) AS rank
+              FROM scored)
+            SELECT q_id, n_id, cos, rank FROM ranked WHERE rank <= 5
+        """,
+        "q57b_pq_exact": f"""
             WITH c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 2000),
             scored AS (
               SELECT q.vec_id AS q_id, t.vec_id AS n_id,

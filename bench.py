@@ -43,6 +43,11 @@ BENCH_QUERIES = [
     "q40_bm25",
     "q42_sessionize",
     "q47_asof_join",
+    # round-4 operator surface
+    "q51_frame_sample",
+    "q52_audio_windows",
+    "q54_decontaminate",
+    "q55_span_dedup",
 ]
 
 CRAWL_BENCH_URLS = int(os.environ.get("BENCH_CRAWL_URLS", 2_000_000))

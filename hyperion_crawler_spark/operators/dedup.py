@@ -347,6 +347,67 @@ def simhash_df(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return sums.select("doc_id", packed.alias("simhash"))
 
 
+# ------------------------------------------------------ decontamination
+def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+                  id_col: str, text_col: str, n: int = 8,
+                  bench_text_col: str | None = None) -> DataFrame:
+    """Benchmark decontamination: drop every corpus document sharing at
+    least one word ``n``-gram with the benchmark set — the standard
+    eval-leakage guard a pretraining pipeline runs before training
+    (n-gram overlap, the GPT-3/PaLM-style 8-gram rule).
+
+    Scale shape: explode both sides to 60-bit shingle hashes, LEFT SEMI
+    join corpus shingles against the (distinct, comparatively tiny)
+    benchmark shingle set to find contaminated ids, then LEFT ANTI the
+    corpus — two narrow hash joins; the benchmark side broadcasts under
+    AQE at any realistic benchmark size. The corpus text column is
+    never shuffled."""
+    bcol = bench_text_col or text_col
+    c_sh = corpus.select(
+        F.col(id_col).alias("_cid"),
+        F.explode(word_ngrams(F.col(text_col), n)).alias("_g"),
+    ).select("_cid", portable_hash60(F.col("_g")).alias("_sh"))
+    b_sh = benchmark.select(
+        F.explode(word_ngrams(F.col(bcol), n)).alias("_g"),
+    ).select(portable_hash60(F.col("_g")).alias("_sh")).distinct()
+    contaminated = (c_sh.join(b_sh, "_sh", "left_semi")
+                    .select(F.col("_cid").alias(id_col)).distinct())
+    return corpus.join(contaminated, id_col, "left_anti")
+
+
+# ----------------------------------------------- intra-document repetition
+def dedup_repeated_spans(df: DataFrame, id_col: str, text_col: str,
+                         span_tokens: int = 10) -> DataFrame:
+    """Remove repeated spans WITHIN each document: chunk the token
+    stream into fixed ``span_tokens`` windows, keep only each chunk's
+    FIRST occurrence (exact match), and reassemble in order — the
+    boilerplate/repetition scrub (nav bars, repeated footers, looped
+    text) a crawl corpus needs before training.
+
+    Pure array Catalyst — no explode, no shuffle, no UDF; O(chunks²)
+    ``array_position`` probes per document over ~dozens of chunks.
+    Three projections on purpose: the token and chunk arrays must be
+    ATTRIBUTES before re-reference (the HOF-CSE hazard documented on
+    ``winnowing_fingerprint_rows``). Returns
+    (id, text_clean, n_chunks, n_kept)."""
+    toks = F.split(F.col(text_col), " ")
+    step1 = df.select(F.col(id_col).alias("doc_id"), toks.alias("_t"))
+    t = F.col("_t")
+    n_chunks = F.ceil(F.size(t) / F.lit(span_tokens)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(
+            F.slice(t, i * span_tokens + 1, span_tokens), " "))
+    step2 = step1.select("doc_id", chunks.alias("_c"))
+    c = F.col("_c")
+    kept = F.filter(c, lambda x, i: F.array_position(c, x) == i + 1)
+    return step2.select(
+        "doc_id",
+        F.array_join(kept, " ").alias("text_clean"),
+        F.size(c).alias("n_chunks"),
+        F.size(kept).alias("n_kept"))
+
+
 # ----------------------------------------------- duplicate-cluster labels
 def dup_clusters(pairs: DataFrame, id1: str = "id1", id2: str = "id2",
                  iters: int | None = None, max_iters: int = 25,

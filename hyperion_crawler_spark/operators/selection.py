@@ -1,0 +1,59 @@
+"""Dataset selection / mixing operators — deterministic hash-based
+sampling for training-data pipelines.
+
+A training mix ("40% of source A, 10% of source B, …") must be
+REPRODUCIBLE and cluster-order-independent: ``df.sample()`` seeds per
+partition, so a repartition, an AQE re-plan, or a resume changes which
+rows survive. The standard fix is content-hash Bernoulli sampling:
+keep a row iff ``hash(key) mod M < rate·M``. The decision depends only
+on the row's key — stable across runs, partitionings, engines, and
+(with the portable 60-bit SHA-256 hash this repo uses for its DuckDB
+oracles) exactly mirrorable in ANSI SQL (q53).
+
+Scale shape: pure Catalyst filter — no shuffle, no RNG state, pushes
+down past column pruning; the per-source rate lookup is a literal CASE
+(broadcast-free). Reference analog: the crawl scheduler's deterministic
+transient-failure mask uses the same keyed-hash trick
+(plans/fetch.py); ``salt`` gives independent resamples.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import portable_hash60
+
+SAMPLE_MOD = 10_000  # rate resolution 0.01% — matches the SQL mirror
+
+
+def hash_sample_keep(key: Column, rate: float, salt: str = "") -> Column:
+    """Boolean keep-decision: deterministic Bernoulli(rate) on the key.
+    ``salt`` derives an independent sample from the same keys."""
+    h = portable_hash60(F.concat(F.lit(salt), F.lit("|"), key.cast("string")))
+    return F.pmod(h, F.lit(SAMPLE_MOD)) < int(rate * SAMPLE_MOD)
+
+
+def hash_sample(df: DataFrame, key_col: str, rate: float,
+                salt: str = "") -> DataFrame:
+    """Keep a deterministic ``rate`` fraction of rows by key hash."""
+    return df.filter(hash_sample_keep(F.col(key_col), rate, salt))
+
+
+def stratified_mix(df: DataFrame, source_col: str, key_col: str,
+                   rates: dict[str, float], default_rate: float = 0.0,
+                   salt: str = "") -> DataFrame:
+    """Dataset mixing: per-source deterministic sampling rates (the
+    "epochs per source" knob of a pretraining mix). Sources absent
+    from ``rates`` get ``default_rate``. One Catalyst filter; no
+    shuffle; reproducible row-for-row across runs and engines."""
+    rate = None
+    for src, r in sorted(rates.items()):
+        cond = F.col(source_col) == src
+        rate = (F.when(cond, F.lit(float(r))) if rate is None
+                else rate.when(cond, F.lit(float(r))))
+    rate = (rate.otherwise(F.lit(float(default_rate))) if rate is not None
+            else F.lit(float(default_rate)))
+    h = portable_hash60(F.concat(F.lit(salt), F.lit("|"),
+                                 F.col(key_col).cast("string")))
+    return df.filter(F.pmod(h, F.lit(SAMPLE_MOD)) < rate * SAMPLE_MOD)

@@ -460,7 +460,13 @@ class SnapshotTable:
         ``keys`` must be stable across a table's merges (the manifest
         records them for readers). Folds all deltas into fresh base
         files every ``compact_after`` delta commits."""
-        if alive.isEmpty() and (delete_keys is None or delete_keys.isEmpty()):
+        # Idle probe on SOURCE, not ``alive``: the merge is idle iff
+        # source AND delete set are both empty, and in that case
+        # alive == source — probing ``alive`` would run the
+        # delete-anti-join just to decide, while ``source.isEmpty()``
+        # is a limit(1) over the (pinned) source scan. In the common
+        # non-idle case the ``and`` short-circuits after one probe job.
+        if source.isEmpty() and (delete_keys is None or delete_keys.isEmpty()):
             return self._commit(files, meta, keys=keys)  # idle merge
         seq = (self.current_version() or 0) + 1
         delta = (alive.withColumn("_seq", F.lit(seq).cast("long"))

@@ -319,3 +319,56 @@ def test_rows_forms_match_column_forms(spark):
     row_sig = {(r["doc_id"], tuple(r["sig"])) for r in
                DD.minhash_signature_rows(d, "doc_id", "text").collect()}
     assert col_sig == row_sig
+
+
+def test_pq_finds_planted_near_copies(spark):
+    """PQ-ADC ANN: a barely-perturbed copy must reconstruct to (nearly)
+    the same codes and surface its source as the top-1 neighbor."""
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    corpus = e.filter(F.col("vec_id") < 300).select("vec_id", "embedding")
+    queries = corpus.filter(F.col("vec_id") < 40).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double") + 0.005).alias("embedding"))
+    got = SIM.pq_topk(queries, corpus, dim=64, k=1)
+    hits = got.filter(F.col("rank") == 1) \
+              .filter(F.col("n_id") == F.col("q_id") - 100000).count()
+    assert hits >= 32, f"PQ top-1 planted recall {hits}/40"
+
+
+def test_pq_recall_at_k_vs_brute_force(spark):
+    e = spark.read.parquet(f"{SF}/embeddings.parquet").limit(300)
+    q = e.filter(F.col("vec_id") % 50 == 0)
+    exact = SIM.brute_force_topk(q, e, k=5).collect()
+    ann = SIM.pq_topk(q, e, dim=64, k=5).collect()
+    ex, an = {}, {}
+    for r in exact:
+        ex.setdefault(r["q_id"], set()).add(r["n_id"])
+    for r in ann:
+        an.setdefault(r["q_id"], set()).add(r["n_id"])
+    recalls = [len(ex[qid] & an.get(qid, set())) / len(ex[qid]) for qid in ex]
+    # 16x256 (8-bit) codes on 64-dim DIFFUSE vectors (PQ's worst
+    # case — no cluster structure): ~0.93 measured, bar at 0.7
+    assert np.mean(recalls) >= 0.7, f"PQ recall@5 {np.mean(recalls):.2f} degenerate"
+
+
+def test_pq_encode_shape_and_determinism(spark):
+    e = spark.read.parquet(f"{SF}/embeddings.parquet").limit(100)
+    books = SIM.train_pq_codebooks(e, dim=64, m_blocks=8, k_codes=16)
+    assert books.shape == (8, 16, 8)  # explicit small config
+    enc1 = {r["n_id"]: (tuple(r["codes"]), r["recon_norm"])
+            for r in SIM.pq_encode(e, books).collect()}
+    enc2 = {r["n_id"]: (tuple(r["codes"]), r["recon_norm"])
+            for r in SIM.pq_encode(e.repartition(7), books).collect()}
+    assert enc1 == enc2, "PQ encoding must not depend on partitioning"
+    assert all(len(c) == 8 and all(0 <= x < 16 for x in c)
+               for c, _ in enc1.values())
+    # training is deterministic too (hash-ordered sample, no RNG)
+    books2 = SIM.train_pq_codebooks(e.repartition(5), dim=64, m_blocks=8, k_codes=16)
+    assert (books == books2).all()
+
+
+def test_pq_query_cap_guard(spark):
+    e = spark.read.parquet(f"{SF}/embeddings.parquet").limit(50)
+    import pytest
+    with pytest.raises(ValueError, match="cap"):
+        SIM.pq_topk(e, e, dim=64, k=1, query_cap=10)
