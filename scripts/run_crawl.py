@@ -41,6 +41,11 @@ def main() -> None:
     ap.add_argument("--gc-keep-rounds", type=int, default=0,
                     help="after the crawl, expire snapshots not reachable "
                          "from the last N round checkpoints (0 = no GC)")
+    ap.add_argument("--rewrite-small-mb", type=int, default=0,
+                    help="with --gc-keep-rounds: before expiring, bin-pack "
+                         "each table's base files smaller than this many MiB "
+                         "into one file per partition value (append-table "
+                         "file-count maintenance; 0 = off)")
     ap.add_argument("--corpus-buckets", type=int, default=0,
                     help="materialize the corpus as a bucketed SnapshotTable "
                          "with N buckets; each round prunes cold payload files")
@@ -112,8 +117,12 @@ def main() -> None:
     if args.gc_keep_rounds:
         from hyperion_crawler_spark.sources.tables import Catalog
 
-        stats = Catalog(args.store).expire(keep_rounds=args.gc_keep_rounds)
-        print(json.dumps({"event": "gc", "keep_rounds": args.gc_keep_rounds, "tables": {
+        stats = Catalog(args.store).expire(
+            keep_rounds=args.gc_keep_rounds,
+            spark=spark if args.rewrite_small_mb else None,
+            rewrite_small_bytes=args.rewrite_small_mb << 20 or None)
+        print(json.dumps({"event": "gc", "keep_rounds": args.gc_keep_rounds,
+                          "rewrite_small_mb": args.rewrite_small_mb, "tables": {
             k: {"removed_manifests": len(v["removed_manifests"]),
                 "removed_files": v["removed_files"]} for k, v in stats.items()}}))
     spark.stop()
