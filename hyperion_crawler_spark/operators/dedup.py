@@ -164,7 +164,8 @@ def minhash_signature_rows(df: DataFrame, id_col: str, text_col: str,
 
 
 def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
-                      jaccard_threshold: float = 0.5) -> DataFrame:
+                      jaccard_threshold: float = 0.5,
+                      handles: list | None = None) -> DataFrame:
     """MinHash → banded LSH candidate generation → exact-Jaccard verify.
 
     Scale path for near-dup at 10^10 docs: signature is one projection
@@ -176,10 +177,15 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     bands → s-curve threshold ≈ (1/4)^(1/4) ≈ 0.71)."""
     # persisted for the same generator-inlining reason as
     # winnowing_pairs: the band explode + self-join would otherwise
-    # re-derive all 16 permutation minima per reference
+    # re-derive all 16 permutation minima per reference. ``handles``:
+    # same release contract as winnowing_pairs/dup_clusters — a
+    # long-running driver passes a list and unpersists after
+    # materializing; one-shot callers rely on ContextCleaner.
     with_sig = minhash_signature_rows(
         df, id_col, text_col, keep_text=True).filter(
             F.col("n_shingles") > 0).persist()
+    if handles is not None:
+        handles.append(with_sig)
     # ^ docs with zero shingles (< 3 tokens) have undefined signatures —
     # all-null sigs would collide into ONE degenerate band bucket and
     # their Jaccard is 0/0; by definition they cannot be n-gram

@@ -29,9 +29,16 @@ SAMPLE_MOD = 10_000  # rate resolution 0.01% — matches the SQL mirror
 
 def hash_sample_keep(key: Column, rate: float, salt: str = "") -> Column:
     """Boolean keep-decision: deterministic Bernoulli(rate) on the key.
-    ``salt`` derives an independent sample from the same keys."""
+    ``salt`` derives an independent sample from the same keys.
+
+    The threshold is the RAW double ``rate * SAMPLE_MOD`` — identical
+    to ``stratified_mix`` and the q53 SQL mirror, so the same rate
+    always selects the same rows across all three (an ``int()``
+    truncation here would drop boundary buckets for rates not exactly
+    representable at 1/SAMPLE_MOD, e.g. 0.3·10000 → 2999.999… → 2999,
+    diverging from the mix operator by one bucket)."""
     h = portable_hash60(F.concat(F.lit(salt), F.lit("|"), key.cast("string")))
-    return F.pmod(h, F.lit(SAMPLE_MOD)) < int(rate * SAMPLE_MOD)
+    return F.pmod(h, F.lit(SAMPLE_MOD)) < F.lit(rate * SAMPLE_MOD)
 
 
 def hash_sample(df: DataFrame, key_col: str, rate: float,

@@ -109,6 +109,50 @@ class SnapshotTable:
         self.mor_broadcast_bytes = 256 << 20
         os.makedirs(os.path.join(self.dir, "data"), exist_ok=True)
         os.makedirs(os.path.join(self.dir, "snapshots"), exist_ok=True)
+        # Durable table properties (Iceberg table-metadata analog):
+        # serializable declarations persist in props.json so a BARE
+        # handle — a maintenance process, a fresh Catalog in a CLI —
+        # recovers the table's declared behavior instead of silently
+        # downgrading it (a schema-evolving table read without
+        # mergeSchema drops columns; a MoR table merged CoW mixes
+        # layouts). sort_cols hold live Column objects and can't
+        # round-trip, so only a boolean "sorted" marker is stored —
+        # enough for maintenance code to refuse order-destroying
+        # rewrites it can't reproduce.
+        props = {}
+        if os.path.exists(self._props_path):
+            with open(self._props_path) as f:
+                props = json.load(f)
+        if props.get("merge_on_read"):
+            self.merge_on_read = True
+        if props.get("schema_evolving"):
+            self.schema_evolving = True
+        if self.partition_col is None:
+            self.partition_col = props.get("partition_col")
+        self.sorted_declared = bool(props.get("sorted")) or sort_cols is not None
+        self._sync_props(props)
+
+    @property
+    def _props_path(self) -> str:
+        return os.path.join(self.dir, "props.json")
+
+    def _sync_props(self, on_disk: dict | None = None) -> None:
+        """Persist the serializable declarations if they changed (also
+        called by Catalog.table after an order-independent flag
+        upgrade, so later bare handles see the upgraded behavior)."""
+        if on_disk is None:
+            on_disk = {}
+            if os.path.exists(self._props_path):
+                with open(self._props_path) as f:
+                    on_disk = json.load(f)
+        self.sorted_declared = (getattr(self, "sorted_declared", False)
+                                or self.sort_cols is not None)
+        new_props = {"merge_on_read": self.merge_on_read,
+                     "schema_evolving": self.schema_evolving,
+                     "partition_col": self.partition_col,
+                     "sorted": self.sorted_declared}
+        if new_props != on_disk:
+            _atomic_write_json(self._props_path, new_props)
 
     # ---- snapshot bookkeeping -------------------------------------
     def versions(self) -> list[int]:
@@ -226,9 +270,20 @@ class SnapshotTable:
         # also diverge silently). Extend the ordering struct with the
         # orderable value columns (maps aren't orderable in Spark) so
         # ties resolve to the max value row, deterministically — the
-        # same total-order trick the as-of join tiebreak uses.
-        orderable = [c for c in val_cols
-                     if not isinstance(d.schema[c].dataType, T.MapType)]
+        # same total-order trick the as-of join tiebreak uses. The
+        # orderability check is RECURSIVE: a map nested inside an
+        # array/struct is just as unorderable as a top-level one
+        # (Spark rejects it in an ordering expression).
+        def _orderable(dt) -> bool:
+            if isinstance(dt, T.MapType):
+                return False
+            if isinstance(dt, T.ArrayType):
+                return _orderable(dt.elementType)
+            if isinstance(dt, T.StructType):
+                return all(_orderable(f.dataType) for f in dt.fields)
+            return True
+
+        orderable = [c for c in val_cols if _orderable(d.schema[c].dataType)]
         picked = d.groupBy(*keys).agg(
             F.max_by(F.struct(*val_cols, "_tomb"),
                      F.struct(F.col("_seq"), F.col("_tomb").cast("int"),
@@ -554,6 +609,12 @@ class SnapshotTable:
         ver = base_version if base_version is not None else self.current_version()
         if not ver:
             return None
+        if self.sort_cols is None and self.sorted_declared:
+            # a sorted table opened through a bare handle: the Column
+            # sort expressions can't be recovered from props.json, and
+            # consolidating without them would destroy the declared
+            # file clustering — refuse rather than silently unsort
+            return None
         files = self._live_files(ver)
         if not files or any(f.get("kind") == "delta" for f in files):
             return None
@@ -575,7 +636,12 @@ class SnapshotTable:
         sub = f"commit-{uuid.uuid4().hex[:12]}"
         new_entries: list[dict] = []
         for (pmin, pmax), ents in sorted(todo, key=lambda kv: str(kv[0])):
-            df = self._read_files(spark, ents)
+            # consolidation must never drop columns: always footer-merge
+            # the group read (covers schema-evolving tables opened
+            # through bare handles; for same-schema files it is a no-op
+            # over the handful of small files being rewritten)
+            df = spark.read.option("mergeSchema", "true").parquet(
+                *[os.path.join(self.dir, e["path"]) for e in ents])
             if self.sort_cols:
                 df = df.coalesce(1).sortWithinPartitions(*self.sort_cols)
             else:
@@ -698,8 +764,18 @@ class Catalog:
                 raise ValueError(
                     f"table {name!r} already declared with partition_col="
                     f"{t.partition_col!r}; got conflicting {partition_col!r}")
-        if sort_cols is not None and t.sort_cols is None:
-            t.sort_cols = sort_cols
+        if sort_cols is not None:
+            if t.sort_cols is None:
+                t.sort_cols = sort_cols
+            elif [str(c) for c in t.sort_cols] != [str(c) for c in sort_cols]:
+                # same hard error the partition_col conflict gets —
+                # silently keeping the first declaration would cluster
+                # this caller's writes by someone else's order
+                raise ValueError(
+                    f"table {name!r} already declared with sort_cols="
+                    f"{[str(c) for c in t.sort_cols]}; got conflicting "
+                    f"{[str(c) for c in sort_cols]}")
+        t._sync_props()
         return t
 
     # ---- round checkpoints ----------------------------------------

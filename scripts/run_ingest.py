@@ -75,13 +75,19 @@ def main() -> None:
             q.stop()
             q.awaitTermination()
         except Exception:
-            # The signal reached the JVM first and its shutdown hook
-            # already tore the context down (spark-submit routes
-            # signals to the JVM, not this driver). An abrupt stop is
-            # still exactly-once by construction: the round log folds
-            # LAST per batch and replays are Bloom no-ops
+            if not stop_flag:
+                # No shutdown was requested: this is a REAL streaming
+                # failure (corrupt seed file, merge error) — surface
+                # it and exit nonzero; swallowing it would report a
+                # clean stop while ingestion has silently died.
+                raise
+            # A signal was requested and reached the JVM first: its
+            # shutdown hook tore the context down before this driver
+            # could stop the query (spark-submit routes signals to the
+            # JVM). An abrupt stop is still exactly-once by
+            # construction: the round log folds LAST per batch and
+            # replays are Bloom no-ops
             # (test_seed_stream_replay_is_idempotent).
-            pass
         print(json.dumps({"event": "ingest_daemon_stopped", **totals}),
               flush=True)
     else:

@@ -70,3 +70,14 @@ def test_dedup_repeated_spans_scrubs_exact_repeats(spark):
     df2 = spark.createDataFrame([(2, base)], "doc_id long, text string")
     r2 = dedup_repeated_spans(df2, "doc_id", "text", span_tokens=10).first()
     assert r2["text_clean"] == base and r2["n_kept"] == r2["n_chunks"] == 2
+
+
+def test_hash_sample_matches_stratified_mix_rows(spark):
+    """Same rate ⇒ same rows from both APIs (raw-double threshold;
+    0.3·10000 is not exactly representable — the truncation trap)."""
+    df = spark.range(3000).select(
+        F.col("id").alias("k"), F.lit("s").alias("src"))
+    a = sorted(r["k"] for r in hash_sample(df, "k", 0.3).collect())
+    b = sorted(r["k"] for r in
+               stratified_mix(df, "src", "k", {"s": 0.3}).collect())
+    assert a == b

@@ -493,3 +493,80 @@ def test_expire_with_rewrite_bounds_crawl_file_count(
 
     assert state(s_m) == state(s_p), \
         "maintenance changed crawl semantics (must be content-identical)"
+
+
+def test_props_survive_bare_handles(spark, tmp_path):
+    """Durable table properties: a bare SnapshotTable handle (fresh
+    Catalog — the maintenance-CLI shape) must recover declared
+    merge_on_read / schema_evolving / partition_col / sorted-ness from
+    props.json instead of silently downgrading the table."""
+    from hyperion_crawler_spark.sources.tables import SnapshotTable
+
+    cat = Catalog(str(tmp_path))
+    t = cat.table("ev", "shard", merge_on_read=True, schema_evolving=True,
+                  sort_cols=[F.col("v").desc()])
+    t.append(spark.createDataFrame([(1, 1, 5)], "k int, shard int, v int"))
+    bare = SnapshotTable(str(tmp_path), "ev")
+    assert bare.merge_on_read and bare.schema_evolving
+    assert bare.partition_col == "shard" and bare.sorted_declared
+    # upgrades through Catalog.table persist too
+    cat2 = Catalog(str(tmp_path))
+    cat2.table("ev2", "shard")
+    cat2.table("ev2", "shard", schema_evolving=True)
+    assert SnapshotTable(str(tmp_path), "ev2").schema_evolving
+
+
+def test_rewrite_preserves_evolved_schema_and_skips_sorted(spark, tmp_path):
+    """Small-file consolidation through a BARE handle must not drop
+    columns of a schema-evolving table (the footer-merge read), and
+    must refuse to rewrite a sorted table whose sort exprs it can't
+    recover (order-destroying)."""
+    from hyperion_crawler_spark.sources.tables import SnapshotTable
+
+    cat = Catalog(str(tmp_path))
+    t = cat.table("lin", None, schema_evolving=True)
+    t.append(spark.createDataFrame([(1, "a")], "k int, v string"))
+    t.append(spark.createDataFrame([(2, "b", 9.5)], "k int, v string, extra double"))
+    bare = SnapshotTable(str(tmp_path), "lin")
+    v = bare.rewrite_small_files(spark, small_bytes=1 << 20)
+    assert v is not None
+    out = bare.read(spark, version=v)
+    assert "extra" in out.columns, "consolidation dropped an evolved column"
+    got = {r["k"]: r["extra"] for r in out.collect()}
+    assert got == {1: None, 2: 9.5}
+
+    s = cat.table("srt", "shard", sort_cols=[F.col("v").desc()])
+    s.append(spark.createDataFrame([(1, 1)], "shard int, v int"))
+    s.append(spark.createDataFrame([(1, 2)], "shard int, v int"))
+    bare_s = SnapshotTable(str(tmp_path), "srt")
+    assert bare_s.rewrite_small_files(spark, small_bytes=1 << 20) is None, \
+        "bare handle must refuse to unsort a sorted table"
+    # ...but the declaring handle (sort exprs known) can rewrite
+    assert s.rewrite_small_files(spark, small_bytes=1 << 20) is not None
+
+
+def test_mor_merge_with_nested_map_value_column(spark, tmp_path):
+    """The deterministic tie-break must exclude NESTED unorderable
+    types (array<map>, struct-of-map), not just top-level maps."""
+    t = Catalog(str(tmp_path)).table("nm", "shard", merge_on_read=True)
+    t.compact_ratio = 0
+    df = spark.createDataFrame(
+        [(1, 1, [{"a": "x"}])],
+        "k int, shard int, tags array<map<string,string>>")
+    t.append(df)
+    t.merge(spark, spark.createDataFrame(
+        [(2, 2, [{"b": "y"}])],
+        "k int, shard int, tags array<map<string,string>>"), ["k"])
+    rows = {r["k"]: r["tags"] for r in t.read(spark).collect()}
+    assert rows[2] == [{"b": "y"}]  # read reconciles without AnalysisException
+
+
+def test_catalog_table_sort_cols_conflict_raises(spark, tmp_path):
+    import pytest
+
+    cat = Catalog(str(tmp_path))
+    cat.table("sc", "shard", sort_cols=[F.col("a").desc()])
+    with pytest.raises(ValueError, match="sort_cols"):
+        cat.table("sc", "shard", sort_cols=[F.col("b").asc()])
+    # identical re-declaration is fine
+    cat.table("sc", "shard", sort_cols=[F.col("a").desc()])
