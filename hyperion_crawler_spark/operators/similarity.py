@@ -46,13 +46,25 @@ def brute_force_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
     corpus side stays partition-local (this is the textbook
     broadcast-NL-join scoring shape); for big query sets use the LSH
     path below."""
-    q = F.broadcast(queries.select(F.col(id_col).alias("q_id"),
-                                   F.col(vec_col).alias("q_vec")))
-    c = corpus.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"))
+    # Norms are PER-ROW quantities — computing them inside the pair
+    # expression would re-run the O(dim) fold |q|·|corpus| times (and
+    # Catalyst does not CSE across HOF lambdas). Precompute each side's
+    # norm as an attribute before the join; the per-pair work is then
+    # just the dot fold. Same fold → bit-identical cos values, so the
+    # q20 value oracle is unaffected.
+    q = F.broadcast(queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"),
+        norm(_as_double(F.col(vec_col))).alias("_qn")))
+    c = corpus.select(
+        F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"),
+        norm(_as_double(F.col(vec_col))).alias("_nn"))
     scored = (
         q.crossJoin(c)
         .filter(F.col("q_id") != F.col("n_id"))
-        .select("q_id", "n_id", F.round(cosine(F.col("q_vec"), F.col("n_vec")), 6).alias("cos"))
+        .select("q_id", "n_id",
+                F.round(dot(_as_double(F.col("q_vec")),
+                            _as_double(F.col("n_vec")))
+                        / (F.col("_qn") * F.col("_nn")), 6).alias("cos"))
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id").asc())
     return (scored.withColumn("rank", F.row_number().over(w))
@@ -316,10 +328,15 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, dim: int, k: int = 5,
     else:
         q_idx = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"),
                                F.explode(_probe_expr(F.col(vec_col))).alias("cid"))
+    # per-ROW norm hoist (see brute_force_topk) — bit-identical cos
+    c_idx = c_idx.withColumn("_nn", norm(_as_double(F.col("n_vec"))))
+    q_idx = q_idx.withColumn("_qn", norm(_as_double(F.col("q_vec"))))
     cand = (q_idx.join(c_idx, "cid")
             .filter(F.col("q_id") != F.col("n_id"))
             .select("q_id", "n_id",
-                    F.round(cosine(F.col("q_vec"), F.col("n_vec")), 6).alias("cos")))
+                    F.round(dot(_as_double(F.col("q_vec")),
+                                _as_double(F.col("n_vec")))
+                            / (F.col("_qn") * F.col("_nn")), 6).alias("cos")))
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id").asc())
     return (cand.withColumn("rank", F.row_number().over(w))
                 .filter(F.col("rank") <= k)
@@ -345,13 +362,17 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
         ]
         return sum(bits[1:], bits[0])
 
+    # norms precomputed per ROW (same attribute-hoist as
+    # brute_force_topk — bit-identical cos, O(dim) per pair not 3·O(dim))
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"),
+                     norm(_as_double(F.col(vec_col))).alias("nrm"),
                      sig(F.col(vec_col)).alias("bucket"))
     a, b = base.alias("a"), base.alias("b")
     return (
         a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")))
         .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"),
-                F.round(cosine(F.col("a.vec"), F.col("b.vec")), 6).alias("cos"))
+                F.round(dot(_as_double(F.col("a.vec")), _as_double(F.col("b.vec")))
+                        / (F.col("a.nrm") * F.col("b.nrm")), 6).alias("cos"))
         .filter(F.col("cos") >= threshold)
     )
 
