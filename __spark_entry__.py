@@ -97,18 +97,21 @@ def q01_first_wins_dedup(spark, sf):
         F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
 
 
-def q02_latest_per_key(spark, sf):
+def q02_latest_topk(spark, sf):
+    """W1 latest-per-key + O1 rank/top-k as one labeled union (r5:
+    consolidation of the former q02/q03 so the whole contract fits the
+    driver's 50-query correctness window; both operators still run and
+    value-check — 'latest' rows from R.latest_per_key, 'topk' rows
+    from R.topk_per_key)."""
     o = _t(spark, sf, "orders")
-    return R.latest_per_key(o, ["o_custkey"], F.col("o_orderdate"),
-                            [F.col("o_orderkey").desc()]) \
-            .select("o_custkey", "o_orderkey", "o_totalprice")
-
-
-def q03_topk_per_key(spark, sf):
-    o = _t(spark, sf, "orders")
-    return R.topk_per_key(o, ["o_custkey"],
+    latest = R.latest_per_key(o, ["o_custkey"], F.col("o_orderdate"),
+                              [F.col("o_orderkey").desc()]) \
+        .select(F.lit("latest").alias("kind"), "o_custkey", "o_orderkey",
+                F.lit(1).cast("int").alias("rank"))
+    topk = R.topk_per_key(o, ["o_custkey"],
                           [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()], 3) \
-            .select("o_custkey", "o_orderkey", "rank")
+        .select(F.lit("topk").alias("kind"), "o_custkey", "o_orderkey", "rank")
+    return latest.unionByName(topk)
 
 
 def q04_consensus_histogram(spark, sf):
@@ -139,12 +142,6 @@ def q06_scalar_clean(spark, sf):
         _pround(cleaned * F.col("l_quantity"), 2).alias("trade_val"))
 
 
-def q07_weekend_roll(spark, sf):
-    o = _t(spark, sf, "orders")
-    return o.select("o_orderkey",
-                    F.date_format(weekend_roll(F.col("o_orderdate")), "yyyy-MM-dd").alias("trade_date"))
-
-
 def q08_lookup_or_create(spark, sf):
     o = _t(spark, sf, "orders")
     c = _t(spark, sf, "customer").filter(F.col("c_custkey") % 3 != 0) \
@@ -152,16 +149,6 @@ def q08_lookup_or_create(spark, sf):
     gen = F.concat(F.lit("gen_"), F.substring(F.sha2(F.col("o_custkey").cast("string"), 256), 1, 16))
     return R.lookup_or_create(o, c, ["o_custkey"], "uuid", gen) \
             .select("o_orderkey", "o_custkey", "uuid")
-
-
-def q09_merge_upsert(spark, sf):
-    o = _t(spark, sf, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
-    target = o.filter(F.col("o_orderkey") % 2 == 0)
-    source = o.filter(F.col("o_orderkey") % 3 == 0) \
-              .withColumn("o_totalprice", _pround(F.col("o_totalprice") * 1.1, 2))
-    merged = R.merge_upsert(target, source, ["o_orderkey"])
-    return merged.groupBy("o_orderstatus").agg(
-        F.count("*").alias("n"), _pround(F.sum("o_totalprice"), 2).alias("sum_total"))
 
 
 def q10_replace_partition(spark, sf):
@@ -173,20 +160,20 @@ def q10_replace_partition(spark, sf):
         F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("sum_total"))
 
 
-def q11_filters(spark, sf):
-    ev = _t(spark, sf, "events")
-    return (ev.filter((F.col("value") > 0) & F.col("event_type").isin("click", "view", "purchase"))
-              .groupBy("event_type")
-              .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value")))
-
-
-def q12_json_extract(spark, sf):
+def q12_filter_json(spark, sf):
+    """P5/P6 value+set filters composed with the F-scalar JSON
+    extraction (r5: consolidation of the former q11/q12 — the filter
+    predicates AND the json_field stats value-check in one query)."""
     ev = _t(spark, sf, "events")
     k = json_field(F.col("props"), "$.k").cast("long")
-    return ev.select(F.col("event_type"), k.alias("k")) \
-             .groupBy("event_type") \
-             .agg(F.count("*").alias("n"), F.round(F.avg("k"), 6).alias("avg_k"),
-                  F.min("k").alias("min_k"), F.max("k").alias("max_k"))
+    return (ev.filter((F.col("value") > 0)
+                      & F.col("event_type").isin("click", "view", "purchase"))
+              .select("event_type", k.alias("k"), "value")
+              .groupBy("event_type")
+              .agg(F.count("*").alias("n"),
+                   F.round(F.sum("value"), 2).alias("sum_value"),
+                   F.round(F.avg("k"), 6).alias("avg_k"),
+                   F.min("k").alias("min_k"), F.max("k").alias("max_k")))
 
 
 def q13_fk_semi_anti(spark, sf):
@@ -234,16 +221,6 @@ def q16_ngram_jaccard(spark, sf):
     return DD.ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5)
 
 
-def q17_minhash_signature(spark, sf):
-    # rows form: sig is an ATTRIBUTE, so the 16 element reads are O(1)
-    # array lookups (the Column form would re-run all 16 permutations'
-    # shingle hashing per projected element — 256× the SHA-256 work)
-    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 100)
-    s = DD.minhash_signature_rows(d, "doc_id", "text")
-    return s.select("doc_id", *[F.col("sig")[j].alias(f"sig_{j}")
-                                for j in range(DD.N_MINHASH)])
-
-
 def q18_minhash_lsh_pairs(spark, sf):
     d = _docs_with_near_dups(spark, sf)
     return DD.minhash_lsh_pairs(d, "doc_id", "text", jaccard_threshold=0.5)
@@ -269,24 +246,22 @@ def q21_embedding_near_dup(spark, sf):
 
 
 def q22_text_quality(spark, sf):
+    # fp (r5): absorbed the former q24_fingerprint — the per-document
+    # fingerprint value-checks here without the redundant groupBy query
     d = _t(spark, sf, "documents")
     return d.select("doc_id", *TX.quality_metrics(F.col("text")),
-                    TX.quality_score(F.col("text")).alias("quality"))
+                    TX.quality_score(F.col("text")).alias("quality"),
+                    TX.fingerprint(F.col("text")).alias("fp"))
 
 
 def q23_lang_id(spark, sf):
-    d = _t(spark, sf, "documents")
-    return d.select("doc_id", TX.lang_id(F.col("text")).alias("lang_guess"),
-                    TX.token_count(F.col("text")).alias("n_tokens"),
-                    TX.bpe_ish_token_count(F.col("text")).alias("n_subtokens"))
-
-
-def q23b_lang_scripts(spark, sf):
-    """Two-tier lang-ID (functions/text.lang_id_scripted): docs are
-    rewritten per doc_id % 8 into CJK / Hangul / Cyrillic / Arabic /
-    Greek / mixed fixtures; the Unicode-block tier routes non-Latin
-    scripts directly and Latin text (incl. the below-dominance mixed
-    case) falls back to the stopword argmax."""
+    """Stopword lang-ID + token counts over the real text, PLUS the
+    two-tier scripted lang-ID (functions/text.lang_id_scripted) over a
+    per-doc_id%8 rewrite into CJK / Hangul / Cyrillic / Arabic / Greek
+    / mixed fixtures (r5: consolidation of the former q23/q23b — both
+    tiers value-check in one query: the Unicode-block tier routes the
+    non-Latin scripts, Latin text falls through to the stopword
+    argmax)."""
     d = _t(spark, sf, "documents")
     m = F.col("doc_id") % 8
     txt = (F.when(m == 0, F.lit("これは 日本語 の テキスト です"))
@@ -297,13 +272,10 @@ def q23b_lang_scripts(spark, sf):
            .when(m == 5, F.lit("αυτό είναι ελληνικό κείμενο"))
            .when(m == 6, F.concat(F.lit("привет "), F.col("text")))
            .otherwise(F.col("text")))
-    return d.select("doc_id", TX.lang_id_scripted(txt).alias("lang_guess"))
-
-
-def q24_fingerprint(spark, sf):
-    d = _t(spark, sf, "documents")
-    return (d.select(TX.fingerprint(F.col("text")).alias("fp"))
-             .groupBy("fp").agg(F.count("*").alias("n")))
+    return d.select("doc_id", TX.lang_id(F.col("text")).alias("lang_guess"),
+                    TX.token_count(F.col("text")).alias("n_tokens"),
+                    TX.bpe_ish_token_count(F.col("text")).alias("n_subtokens"),
+                    TX.lang_id_scripted(txt).alias("lang_scripted"))
 
 
 def q25_set_ops(spark, sf):
@@ -319,32 +291,26 @@ def q25_set_ops(spark, sf):
     )
 
 
-def q26_rollup(spark, sf):
-    """A5 grouping sets: rollup over (status, priority)."""
-    o = _t(spark, sf, "orders")
-    return (o.rollup("o_orderstatus", "o_orderpriority")
-             .agg(F.count("*").alias("n"),
-                  _pround(F.sum("o_totalprice"), 2).alias("sum_total")))
-
-
-def q27_parse_symbols(spark, sf):
-    """F11 parse_symbols: CSV split → trim → upper → explode → counts."""
+def q27_scalar_maps(spark, sf):
+    """F11 parse_symbols (CSV split → trim → upper → explode → counts)
+    + F7 normalize_rating (lowercase, space/dash→underscore, literal
+    map lookup with pass-through default) as one labeled union (r5:
+    consolidation of the former q27/q28 — both scalar kernels still
+    value-check; ROLLUP dropped as a strict special case of the
+    GROUPING SETS query q48)."""
     ev = _t(spark, sf, "events")
     syms = F.transform(F.split(F.concat(F.col("event_type"), F.lit(", extra , pad")), ","),
                        lambda x: F.upper(F.trim(x)))
-    return (ev.select(F.explode(syms).alias("sym"))
-              .groupBy("sym").agg(F.count("*").alias("n")))
-
-
-def q28_rating_normalize(spark, sf):
-    """F7 normalize_rating: lowercase, space/dash→underscore, literal
-    map lookup with pass-through default."""
-    ev = _t(spark, sf, "events")
+    sym_counts = (ev.select(F.explode(syms).alias("k"))
+                  .groupBy("k").agg(F.count("*").alias("n"))
+                  .select(F.lit("sym").alias("kind"), "k", "n"))
     norm = F.translate(F.lower(F.col("event_type")), " -", "__")
     mapping = {"click": "engage", "view": "engage", "purchase": "convert"}
     m = F.create_map(*[F.lit(x) for kv in mapping.items() for x in kv])
-    return (ev.select(F.coalesce(m[norm], norm).alias("rating_class"))
-              .groupBy("rating_class").agg(F.count("*").alias("n")))
+    ratings = (ev.select(F.coalesce(m[norm], norm).alias("k"))
+               .groupBy("k").agg(F.count("*").alias("n"))
+               .select(F.lit("rating").alias("kind"), "k", "n"))
+    return sym_counts.unionByName(ratings)
 
 
 def q29_distinct_counts(spark, sf):
@@ -378,58 +344,43 @@ def q30_politeness_schedule(spark, sf):
 
 
 def q31_merge_with_delete(spark, sf):
-    """S5+ — MERGE with UPDATE, INSERT and DELETE branches as one
-    dataflow result (the frontier-retirement shape)."""
+    """S5/J5 — MERGE with UPDATE, INSERT and DELETE branches (the
+    frontier-retirement shape): delete keys are retired first, then
+    the upsert runs through the R.merge_upsert operator itself (r5:
+    absorbed the former q09_merge_upsert — the operator is now what
+    this query exercises, with the DELETE branch on top)."""
     o = _t(spark, sf, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
     target = o.filter(F.col("o_orderkey") % 2 == 0)
     source = o.filter((F.col("o_orderkey") % 3 == 0) & (F.col("o_orderkey") % 5 != 0)) \
               .withColumn("o_totalprice", _pround(F.col("o_totalprice") * 1.1, 2))
     delete_keys = o.filter(F.col("o_orderkey") % 5 == 0).select("o_orderkey")
-    gone = source.select("o_orderkey").unionByName(delete_keys).distinct()
-    survivors = target.join(gone, "o_orderkey", "left_anti")
-    merged = survivors.unionByName(source)
+    survivors = target.join(delete_keys, "o_orderkey", "left_anti")
+    merged = R.merge_upsert(survivors, source, ["o_orderkey"])
     return merged.groupBy("o_orderstatus").agg(
         F.count("*").alias("n"), _pround(F.sum("o_totalprice"), 2).alias("sum_total"))
 
 
-def q32_target_price(spark, sf):
-    """F8 normalize_target_price: clean → struct(price, ccy), with the
-    reference's falsy contract (unparseable OR zero → null)."""
+def q32_filing_scalars(spark, sf):
+    """The reference's filing/market scalar family in one query (r5:
+    consolidation of the former q07/q32/q33/q34 — same fixtures, same
+    expressions, one row set):
+    F8 normalize_target_price (falsy contract: unparseable OR zero →
+    null), F10 get_filing_date_range ((start,end) | (date,date) |
+    today dispatch over yyyyMMdd params with the '' ≡ None falsy
+    quirk), F14 extract_filing_metadata + F15 parse_xbrl stub, and
+    F5 weekend_roll."""
     o = _t(spark, sf, "orders")
     raw = (F.when(F.col("o_orderkey") % 7 == 0, F.lit("n/a"))
             .when(F.col("o_orderkey") % 5 == 0, F.lit("$0"))
             .otherwise(F.concat(F.lit("$"), F.floor(F.col("o_totalprice")).cast("string"))))
     tp = SC.normalize_target_price(raw, "USD")
-    return o.select("o_orderkey", tp.alias("tp")).select(
-        "o_orderkey",
-        F.col("tp.target_price").alias("target_price"),
-        F.col("tp.currency").alias("currency"))
-
-
-def q33_filing_range(spark, sf):
-    """F10 get_filing_date_range: (start,end) | (date,date) | today
-    dispatch over yyyyMMdd param strings, deterministic 'today'."""
-    o = _t(spark, sf, "orders")
     both = F.col("o_orderkey") % 3 == 0
     single_p = F.col("o_orderkey") % 3 == 1
-    # the no-param rows carry EMPTY STRINGS, not nulls: the reference's
-    # `params.get(...) and ...` is a falsy check, so '' must fall
-    # through to the today-branch exactly like None (ADVICE r2 fix)
     start = F.when(both, F.date_format("o_orderdate", "yyyyMMdd")).otherwise(F.lit(""))
     end = F.when(both, F.date_format(F.date_add("o_orderdate", 30), "yyyyMMdd")).otherwise(F.lit(""))
     single = F.when(single_p, F.date_format("o_orderdate", "yyyyMMdd")).otherwise(F.lit(""))
     today = F.lit("2024-06-30").cast("date")
     rng = SC.filing_date_range(start, end, single, today)
-    return o.select("o_orderkey", rng.alias("r")).select(
-        "o_orderkey",
-        F.date_format("r.range_start", "yyyy-MM-dd").alias("range_start"),
-        F.date_format("r.range_end", "yyyy-MM-dd").alias("range_end"))
-
-
-def q34_filing_metadata(spark, sf):
-    """F14 extract_filing_metadata (JSON filing → normalized metadata
-    struct) + F15 parse_xbrl stub (always-empty map, as the reference)."""
-    o = _t(spark, sf, "orders")
     filing = F.to_json(F.struct(
         F.when(F.col("o_orderkey") % 11 == 0, F.lit("junk"))
          .otherwise(F.date_format("o_orderdate", "yyyy-MM-dd")).alias("filing_date"),
@@ -438,14 +389,20 @@ def q34_filing_metadata(spark, sf):
         F.concat(F.lit("http://filings.example/"),
                  F.col("o_orderkey").cast("string")).alias("filing_url")))
     md = SC.extract_filing_metadata(filing)
-    return o.select("o_orderkey", md.alias("md"),
-                    F.to_json(SC.parse_xbrl(F.lit("<xbrl/>"))).alias("xbrl")) \
+    return o.select("o_orderkey", tp.alias("tp"), rng.alias("r"), md.alias("md"),
+                    F.to_json(SC.parse_xbrl(F.lit("<xbrl/>"))).alias("xbrl"),
+                    F.date_format(weekend_roll(F.col("o_orderdate")),
+                                  "yyyy-MM-dd").alias("trade_date")) \
             .select("o_orderkey",
+                    F.col("tp.target_price").alias("target_price"),
+                    F.col("tp.currency").alias("currency"),
+                    F.date_format("r.range_start", "yyyy-MM-dd").alias("range_start"),
+                    F.date_format("r.range_end", "yyyy-MM-dd").alias("range_end"),
                     F.col("md.filing_date").alias("filing_date"),
                     F.col("md.document_type").alias("document_type"),
                     F.col("md.company_name").alias("company_name"),
                     F.col("md.filing_url").alias("filing_url"),
-                    "xbrl")
+                    "xbrl", "trade_date")
 
 
 def q35_ivf_topk(spark, sf):
@@ -490,16 +447,6 @@ def q36_pagerank(spark, sf):
     # instead of hash-mismatching (ADVICE r2)
     pr6 = F.floor(F.col("rank") * 1e6 + F.lit(0.5)) / 1e6
     return pagerank(edges, iters=2).select("url", pr6.alias("pr"))
-
-
-def q37_winnowing(spark, sf):
-    """Winnowing rolling-hash fingerprints (Schleimer et al.) over the
-    documents table — k=8 char-grams, window w=4, exploded to
-    (doc_id, fp) rows for value-level oracle comparison."""
-    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 200)
-    # persist = generator barrier (see dedup.winnowing_pairs)
-    fpr = DD.winnowing_fingerprint_rows(d, "doc_id", "text", 8, 4).persist()
-    return fpr.select("doc_id", F.explode("fps").alias("fp"))
 
 
 def q38_winnowing_pairs(spark, sf):
@@ -800,18 +747,23 @@ def q54_decontaminate(spark, sf):
 
 
 def q55_span_dedup(spark, sf):
-    """Intra-document repeated-span removal: each text is prefixed with
-    a DOUBLED 20-token block, so its 3rd+4th 10-token chunks are exact
-    repeats of the 1st+2nd and must be scrubbed; the reassembled text
-    is value-compared."""
-    from hyperion_crawler_spark.operators.dedup import dedup_repeated_spans
+    """Intra-document repeated-span removal, OFF-GRID rolling-window
+    form (r5 upgrade per the round-4 verdict: the fixed-grid
+    ``dedup_repeated_spans`` misses repeats at offsets ≢ 0 mod
+    span_tokens — tests/test_dedup_similarity.py proves the miss on
+    this exact fixture). Each text is prefixed with 3 pad tokens plus
+    its own first 20 tokens, planting a 20-token repeat at token
+    offset 3: the w=10 rolling scrub removes the second copy wherever
+    it starts; the reassembled text is value-compared."""
+    from hyperion_crawler_spark.operators.dedup import scrub_repeated_windows
 
     d = _t(spark, sf, "documents").select("doc_id", "text")
     rep = F.array_join(F.slice(F.split(F.col("text"), " "), 1, 20), " ")
-    doubled = d.select(
+    planted = d.select(
         "doc_id",
-        F.concat(rep, F.lit(" "), rep, F.lit(" "), F.col("text")).alias("text"))
-    return dedup_repeated_spans(doubled, "doc_id", "text", span_tokens=10)
+        F.concat(F.lit("pad0 pad1 pad2 "), rep, F.lit(" "),
+                 F.col("text")).alias("text"))
+    return scrub_repeated_windows(planted, "doc_id", "text", w=10)
 
 
 def q57_pq_topk(spark, sf):
@@ -867,47 +819,109 @@ def q56_token_freq(spark, sf):
             .orderBy(F.col("n").desc(), F.col("token").asc()).limit(50))
 
 
+def q58_ivfpq(spark, sf):
+    """IVFADC (operators/similarity.ivfpq_topk — IVF coarse pruning ×
+    product-quantized residuals, the round-4 verdict's composition) in
+    exact mode: every cell probed, sample == corpus, one residual
+    centroid per sample sub-vector and zero Lloyd steps, so every
+    vector reconstructs exactly and the ADC candidate scan degenerates
+    to exact scoring. Candidates are taken with slack (k=10) and
+    RE-SCORED with the Catalyst cosine (same trick as the PQ exact
+    twin), so the 6-decimal values hash-match the plain SQL brute
+    force while the candidate set comes from the full IVFADC machinery
+    (coarse train → cell assign → residual encode → cid-pruned ADC
+    scan → partial top-k). Approximate-mode recall and the
+    probed-cells-only work bound are pinned in
+    tests/test_dedup_similarity.py."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+    corpus = e.filter(F.col("vec_id") < 2000)
+    queries_df = corpus.filter(F.col("vec_id") % 100 == 0)
+    cand = SIM.ivfpq_topk(queries_df, corpus, dim=64, k=10, n_centroids=8,
+                          n_probe=8, m_blocks=8, k_codes=1_000_000,
+                          train_iters=0, coarse_iters=2,
+                          sample_cap=1_000_000)
+    q = corpus.select(F.col("vec_id").alias("q_id"),
+                      F.col("embedding").alias("q_vec"))
+    n = corpus.select(F.col("vec_id").alias("n_id"),
+                      F.col("embedding").alias("n_vec"))
+    rescored = (cand.select("q_id", "n_id").join(q, "q_id").join(n, "n_id")
+                .select("q_id", "n_id",
+                        F.round(SIM.cosine(F.col("q_vec"), F.col("n_vec")), 6)
+                        .alias("cos")))
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(),
+                                           F.col("n_id").asc())
+    return (rescored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 5)
+            .select("q_id", "n_id", "cos", "rank"))
+
+
+def q59_quality_classify(spark, sf):
+    """Model-based quality filter (operators/quality.py): a linear
+    classifier LMS-trained as a deterministic DataFrame job — one
+    fixed-point (int64) gradient aggregation per iteration, so the
+    learned weights are bit-identical on any partitioning AND exactly
+    reproducible by the DuckDB oracle's unrolled-iteration CTEs — then
+    applied as a pure Catalyst scoring projection with the weights
+    inlined as literals. Fixture: odd doc_ids are degraded (uppercased
+    + punctuation spam → label 0), even keep their text (label 1); 3
+    LMS iterations at lr=1.0 separate them perfectly (accuracy pinned
+    in tests/test_quality.py)."""
+    from hyperion_crawler_spark.operators import quality as Q
+
+    d = _t(spark, sf, "documents")
+    m = F.col("doc_id") % 2
+    txt = (F.when(m == 1, F.concat(F.upper(F.col("text")),
+                                   F.lit(" !!! !!! !!! !!! !!!")))
+           .otherwise(F.col("text")))
+    y = F.when(m == 1, F.lit(0.0)).otherwise(F.lit(1.0))
+    fix = d.select("doc_id", txt.alias("qtxt"), y.alias("y"))
+    weights = Q.train_quality_linear(fix, "qtxt", F.col("y"),
+                                     iters=3, lr=1.0)
+    scored = Q.score_quality(fix, "qtxt", weights)
+    return scored.select(
+        "doc_id",
+        (F.floor(F.col("q_score") * 1e6 + F.lit(0.5)) / 1e6).alias("q_score"),
+        "q_keep")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # EXACTLY 50 entries — the driver's correctness window is 50
+        # rows (CORRECTNESS_r03/_r04 both truncate there), so the
+        # round-4 surface (q49-q57b) and the round-5 additions
+        # (q58/q59) fit only because redundant legacy queries were
+        # consolidated in r5 (q02+q03, q07+q32+q33+q34, q11+q12,
+        # q17→q18, q23+q23b, q24→q22, q26→q48, q27+q28, q09→q31,
+        # q37→q38) with every operator family still oracle-covered.
         "q01_first_wins_dedup": q01_first_wins_dedup,
-        "q02_latest_per_key": q02_latest_per_key,
-        "q03_topk_per_key": q03_topk_per_key,
+        "q02_latest_topk": q02_latest_topk,
         "q04_consensus_histogram": q04_consensus_histogram,
         "q05_validity_filter": q05_validity_filter,
         "q06_scalar_clean": q06_scalar_clean,
-        "q07_weekend_roll": q07_weekend_roll,
         "q08_lookup_or_create": q08_lookup_or_create,
-        "q09_merge_upsert": q09_merge_upsert,
         "q10_replace_partition": q10_replace_partition,
-        "q11_filters": q11_filters,
-        "q12_json_extract": q12_json_extract,
+        "q12_filter_json": q12_filter_json,
         "q13_fk_semi_anti": q13_fk_semi_anti,
         "q14_projection_defaults": q14_projection_defaults,
         "q15_exact_dedup_docs": q15_exact_dedup_docs,
         "q16_ngram_jaccard": q16_ngram_jaccard,
-        "q17_minhash_signature": q17_minhash_signature,
         "q18_minhash_lsh_pairs": q18_minhash_lsh_pairs,
         "q19_simhash": q19_simhash,
         "q20_embedding_topk": q20_embedding_topk,
         "q21_embedding_near_dup": q21_embedding_near_dup,
         "q22_text_quality": q22_text_quality,
         "q23_lang_id": q23_lang_id,
-        "q23b_lang_scripts": q23b_lang_scripts,
-        "q24_fingerprint": q24_fingerprint,
         "q25_set_ops": q25_set_ops,
-        "q26_rollup": q26_rollup,
-        "q27_parse_symbols": q27_parse_symbols,
-        "q28_rating_normalize": q28_rating_normalize,
+        "q27_scalar_maps": q27_scalar_maps,
         "q29_distinct_counts": q29_distinct_counts,
         "q30_politeness_schedule": q30_politeness_schedule,
         "q31_merge_with_delete": q31_merge_with_delete,
-        "q32_target_price": q32_target_price,
-        "q33_filing_range": q33_filing_range,
-        "q34_filing_metadata": q34_filing_metadata,
+        "q32_filing_scalars": q32_filing_scalars,
         "q35_ivf_topk": q35_ivf_topk,
         "q35b_ivf_exact": q35b_ivf_exact,
         "q36_pagerank": q36_pagerank,
-        "q37_winnowing": q37_winnowing,
         "q38_winnowing_pairs": q38_winnowing_pairs,
         "q39_dup_clusters": q39_dup_clusters,
         "q40_bm25": q40_bm25,
@@ -929,6 +943,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q56_token_freq": q56_token_freq,
         "q57_pq_topk": q57_pq_topk,
         "q57b_pq_exact": q57b_pq_exact,
+        "q58_ivfpq": q58_ivfpq,
+        "q59_quality_classify": q59_quality_classify,
     }
 
 
@@ -1018,6 +1034,65 @@ def _cc_iters_cte(iters: int) -> str:
             f"FROM e JOIN l{i - 1} ON e.src = l{i - 1}.node) GROUP BY node)")
     return ",\n            ".join(out)
 
+def _sql_quality_classify(iters: int = 3, lr: str = "1.0") -> str:
+    """DuckDB mirror of q59: the LMS quality-classifier training loop
+    unrolled as CTEs (same scheme as the q36 PageRank unroll). Each
+    iteration is one scalar-aggregate CTE (fixed-point BIGINT gradient
+    sums → bit-identical to Spark's distributed agg) + one weight-
+    update CTE; the final SELECT scores every document with the
+    learned weights — the exact expression shapes
+    operators/quality.py uses (left-associated w·x, floor·1e9 grain,
+    double division), so values hash-match."""
+    nf = 6
+    feats = f"""
+                 1.0 AS f0,
+                 least(len(string_split(qtxt, ' ')), 1000) / 1000.0 AS f1,
+                 {_sql_stopword_hits('qtxt', 'en')}
+                   / len(string_split(qtxt, ' ')) AS f2,
+                 length(regexp_replace(qtxt, '[^.,;:!?]', '', 'g'))
+                   / length(qtxt) AS f3,
+                 length(regexp_replace(qtxt, '[^A-Z]', '', 'g'))
+                   / length(qtxt) AS f4,
+                 least(length(qtxt) / len(string_split(qtxt, ' ')), 20.0)
+                   / 20.0 AS f5"""
+
+    def _grad(wname: str) -> str:
+        dotx = " + ".join(f"{wname}.w{j} * f{j}" for j in range(nf))
+        sums = ", ".join(
+            f"CAST(sum(CAST(floor((y - ({dotx})) * f{j} * 1e9) AS BIGINT)) "
+            f"AS BIGINT) AS g{j}" for j in range(nf))
+        return f"SELECT count(*) AS n, {sums} FROM f CROSS JOIN {wname}"
+
+    def _upd(gname: str, wname: str) -> str:
+        cols = ", ".join(
+            f"{wname}.w{j} + {lr} * ((CAST({gname}.g{j} AS DOUBLE) / {gname}.n)"
+            f" / 1e9) AS w{j}" for j in range(nf))
+        return f"SELECT {cols} FROM {gname} CROSS JOIN {wname}"
+
+    ctes = ["w0 AS (SELECT " + ", ".join(f"0.0 AS w{j}" for j in range(nf))
+            + ")"]
+    for i in range(1, iters + 1):
+        ctes.append(f"g{i} AS ({_grad(f'w{i - 1}')})")
+        ctes.append(f"w{i} AS ({_upd(f'g{i}', f'w{i - 1}')})")
+    dot_final = " + ".join(f"w{iters}.w{j} * f{j}" for j in range(nf))
+    return f"""
+        WITH base AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 2 = 1
+                      THEN upper(text) || ' !!! !!! !!! !!! !!!'
+                      ELSE text END AS qtxt,
+                 CASE WHEN doc_id % 2 = 1 THEN 0.0 ELSE 1.0 END AS y
+          FROM documents),
+        f AS (SELECT doc_id, y, {feats}
+              FROM base),
+        {", ".join(ctes)}
+        SELECT doc_id,
+               floor(({dot_final}) * 1e6 + 0.5) / 1e6 AS q_score,
+               ({dot_final}) > 0.5 AS q_keep
+        FROM f CROSS JOIN w{iters}
+    """
+
+
 _SQL_COS = ("round(list_dot_product(list_transform({a}, x -> CAST(x AS DOUBLE)), "
             "list_transform({b}, x -> CAST(x AS DOUBLE))) / "
             "(sqrt(list_dot_product(list_transform({a}, x -> CAST(x AS DOUBLE)), "
@@ -1052,20 +1127,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
             FROM kept WHERE rn = 1 GROUP BY l_returnflag
         """,
-        "q02_latest_per_key": """
-            WITH r AS (
-              SELECT o_custkey, o_orderkey, o_totalprice, row_number() OVER (
+        "q02_latest_topk": """
+            WITH l AS (
+              SELECT o_custkey, o_orderkey, row_number() OVER (
                 PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
-              FROM orders)
-            SELECT o_custkey, o_orderkey, o_totalprice FROM r WHERE rn = 1
-        """,
-        "q03_topk_per_key": """
-            WITH r AS (
+              FROM orders),
+            t AS (
               SELECT o_custkey, o_orderkey, CAST(row_number() OVER (
                 PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC)
                 AS INTEGER) AS rank
               FROM orders)
-            SELECT o_custkey, o_orderkey, rank FROM r WHERE rank <= 3
+            SELECT 'latest' AS kind, o_custkey, o_orderkey,
+                   CAST(1 AS INTEGER) AS rank
+            FROM l WHERE rn = 1
+            UNION ALL
+            SELECT 'topk' AS kind, o_custkey, o_orderkey, rank
+            FROM t WHERE rank <= 3
         """,
         "q04_consensus_histogram": """
             SELECT event_type,
@@ -1100,15 +1177,6 @@ def oracle_sql() -> dict[str, str]:
                    floor(cleaned * l_quantity * 100.0 + 0.5) / 100.0 AS trade_val
             FROM c
         """,
-        "q07_weekend_roll": """
-            SELECT o_orderkey,
-                   strftime(CASE WHEN dayofweek(o_orderdate) = 0
-                                 THEN o_orderdate - INTERVAL 2 DAY
-                                 WHEN dayofweek(o_orderdate) = 6
-                                 THEN o_orderdate - INTERVAL 1 DAY
-                                 ELSE o_orderdate END, '%Y-%m-%d') AS trade_date
-            FROM orders
-        """,
         "q08_lookup_or_create": """
             SELECT o.o_orderkey, o.o_custkey,
                    coalesce(c.c_name, concat('gen_',
@@ -1116,20 +1184,6 @@ def oracle_sql() -> dict[str, str]:
             FROM orders o
             LEFT JOIN (SELECT * FROM customer WHERE c_custkey % 3 != 0) c
               ON o.o_custkey = c.c_custkey
-        """,
-        "q09_merge_upsert": """
-            WITH target AS (
-              SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 2 = 0),
-            source AS (
-              SELECT o_orderkey, o_orderstatus,
-                     floor(o_totalprice * 1.1 * 100.0 + 0.5) / 100.0 AS o_totalprice
-              FROM orders WHERE o_orderkey % 3 = 0),
-            merged AS (
-              SELECT t.* FROM target t ANTI JOIN source s ON t.o_orderkey = s.o_orderkey
-              UNION ALL SELECT * FROM source)
-            SELECT o_orderstatus, count(*) AS n,
-                   floor(sum(o_totalprice) * 100.0 + 0.5) / 100.0 AS sum_total
-            FROM merged GROUP BY o_orderstatus
         """,
         "q10_replace_partition": """
             WITH t AS (SELECT o_orderkey, o_totalprice,
@@ -1140,17 +1194,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT yr, count(*) AS n, round(sum(o_totalprice), 2) AS sum_total
             FROM merged GROUP BY yr
         """,
-        "q11_filters": """
-            SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
-            FROM events
-            WHERE value > 0 AND event_type IN ('click', 'view', 'purchase')
-            GROUP BY event_type
-        """,
-        "q12_json_extract": """
-            WITH k AS (SELECT event_type,
-                              CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
-            SELECT event_type, count(*) AS n, round(avg(k), 6) AS avg_k,
-                   min(k) AS min_k, max(k) AS max_k
+        "q12_filter_json": """
+            WITH k AS (
+              SELECT event_type, value,
+                     CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+              FROM events
+              WHERE value > 0 AND event_type IN ('click', 'view', 'purchase'))
+            SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value,
+                   round(avg(k), 6) AS avg_k, min(k) AS min_k, max(k) AS max_k
             FROM k GROUP BY event_type
         """,
         "q13_fk_semi_anti": """
@@ -1196,10 +1247,6 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes s1 ON common.id1 = s1.doc_id
             JOIN sizes s2 ON common.id2 = s2.doc_id
             WHERE round(n_common / (s1.n_sh + s2.n_sh - n_common), 6) >= 0.5
-        """,
-        "q17_minhash_signature": f"""
-            SELECT doc_id, {sig_cols}
-            FROM documents WHERE doc_id < 100
         """,
         "q18_minhash_lsh_pairs": f"""
             WITH docs AS (SELECT * FROM {_sql_near_dup_docs()} t),
@@ -1274,27 +1321,13 @@ def oracle_sql() -> dict[str, str]:
                    round(least(1.0,
                        (CASE WHEN {ntok} BETWEEN 20 AND 1000 THEN 0.5 ELSE 0.0 END)
                        + round({sw['en']} / {ntok}, 6) * 2.0
-                       - {punct} / length(text)), 6) AS quality
+                       - {punct} / length(text)), 6) AS quality,
+                   sha256(substr(lower(regexp_replace(text, '\\s+', ' ', 'g')), 1, 64)) AS fp
             FROM documents
         """,
         "q23_lang_id": f"""
-            WITH s AS (
-              SELECT doc_id, text,
-                     {", ".join(f"{sw[lg]} AS s_{lg}" for lg in TX.STOPWORDS)}
-              FROM documents)
-            SELECT doc_id,
-                   CASE WHEN {_SQL_LANG_BEST} <= 0 THEN 'unknown'
-                        {" ".join(f"WHEN s_{lg} = {_SQL_LANG_BEST} THEN '{lg}'"
-                                  for lg in TX.STOPWORDS)}
-                   END AS lang_guess,
-                   CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
-                   CAST(len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]'))
-                        AS INTEGER) AS n_subtokens
-            FROM s
-        """,
-        "q23b_lang_scripts": f"""
             WITH base AS (
-              SELECT doc_id,
+              SELECT doc_id, text,
                      CASE doc_id % 8
                        WHEN 0 THEN 'これは 日本語 の テキスト です'
                        WHEN 1 THEN '한국어 텍스트 입니다 안녕하세요'
@@ -1306,10 +1339,18 @@ def oracle_sql() -> dict[str, str]:
                        ELSE text END AS txt
               FROM documents),
             s AS (
-              SELECT doc_id, txt,
+              SELECT doc_id, text, txt,
+                     {", ".join(f"{sw[lg]} AS s_{lg}" for lg in TX.STOPWORDS)},
                      {", ".join(f"{swb[lg]} AS sb_{lg}" for lg in TX.STOPWORDS)}
               FROM base)
             SELECT doc_id,
+                   CASE WHEN {_SQL_LANG_BEST} <= 0 THEN 'unknown'
+                        {" ".join(f"WHEN s_{lg} = {_SQL_LANG_BEST} THEN '{lg}'"
+                                  for lg in TX.STOPWORDS)}
+                   END AS lang_guess,
+                   CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+                   CAST(len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]'))
+                        AS INTEGER) AS n_subtokens,
                    CASE
                      {" ".join(
                          f"WHEN {TX.SCRIPT_DOMINANCE_DEN} * "
@@ -1321,7 +1362,7 @@ def oracle_sql() -> dict[str, str]:
                           {" ".join(f"WHEN sb_{lg} = {_SQL_LANG_BEST_B} THEN '{lg}'"
                                     for lg in TX.STOPWORDS)}
                           END
-                   END AS lang_guess
+                   END AS lang_scripted
             FROM s
         """,
         "q53_mix_sample": f"""
@@ -1346,28 +1387,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source FROM d
             WHERE doc_id NOT IN (SELECT doc_id FROM bad)
         """,
-        "q55_span_dedup": """
+        "q55_span_dedup": f"""
             WITH d2 AS (
               SELECT doc_id,
-                     array_to_string(string_split(text, ' ')[1:20], ' ')
-                     || ' ' ||
-                     array_to_string(string_split(text, ' ')[1:20], ' ')
+                     'pad0 pad1 pad2 '
+                     || array_to_string(string_split(text, ' ')[1:20], ' ')
                      || ' ' || text AS text
               FROM documents),
             tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM d2),
-            ck AS (SELECT doc_id,
-                          [array_to_string(t[i*10+1 : i*10+10], ' ')
-                           for i in generate_series(
-                               0, CAST(ceil(len(t) / 10.0) AS BIGINT) - 1)]
-                          AS c
+            hs AS (SELECT doc_id, t,
+                          [{_H60.format(x="array_to_string(t[i:i+9], ' ')")}
+                           for i in generate_series(1, greatest(len(t) - 9, 0))]
+                          AS h
                    FROM tk),
-            kp AS (SELECT doc_id, c,
-                          list_filter(c, (x, i) -> list_position(c, x) = i)
-                          AS k
-                   FROM ck)
+            fs AS (SELECT doc_id, t,
+                          [list_position(h, h[i])
+                           for i in generate_series(1, len(h))] AS fp
+                   FROM hs),
+            kp AS (SELECT doc_id, t, fp,
+                          [t[i] for i in generate_series(1, len(t))
+                           if len(list_filter(
+                                generate_series(greatest(i - 9, 1),
+                                                least(i, len(fp))),
+                                j -> fp[j] < j)) = 0] AS k
+                   FROM fs)
             SELECT doc_id, array_to_string(k, ' ') AS text_clean,
-                   CAST(len(c) AS INTEGER) AS n_chunks,
-                   CAST(len(k) AS INTEGER) AS n_kept
+                   CAST(len(t) AS INTEGER) AS n_tokens,
+                   CAST(len(t) - len(k) AS INTEGER) AS n_scrubbed
             FROM kp
         """,
         "q56_token_freq": """
@@ -1375,11 +1421,6 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT unnest(string_split(text, ' ')) AS token
                   FROM documents)
             GROUP BY token ORDER BY n DESC, token ASC LIMIT 50
-        """,
-        "q24_fingerprint": """
-            SELECT sha256(substr(lower(regexp_replace(text, '\\s+', ' ', 'g')), 1, 64)) AS fp,
-                   count(*) AS n
-            FROM documents GROUP BY fp
         """,
         "q25_set_ops": """
             WITH a AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 2 = 0),
@@ -1389,27 +1430,23 @@ def oracle_sql() -> dict[str, str]:
               (SELECT count(*) FROM (SELECT o_orderkey FROM a INTERSECT SELECT o_orderkey FROM b)) AS n_intersect,
               (SELECT count(*) FROM (SELECT o_orderkey FROM a EXCEPT ALL SELECT o_orderkey FROM b)) AS n_except
         """,
-        "q26_rollup": """
-            SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-                   floor(sum(o_totalprice) * 100.0 + 0.5) / 100.0 AS sum_total
-            FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
-        """,
-        "q27_parse_symbols": """
-            SELECT sym, count(*) AS n
+        "q27_scalar_maps": """
+            SELECT 'sym' AS kind, k, count(*) AS n
             FROM (SELECT unnest(list_transform(
                      string_split(concat(event_type, ', extra , pad'), ','),
-                     x -> upper(trim(x)))) AS sym
+                     x -> upper(trim(x)))) AS k
                   FROM events)
-            GROUP BY sym
-        """,
-        "q28_rating_normalize": """
-            WITH n AS (SELECT replace(replace(lower(event_type), ' ', '_'), '-', '_') AS norm
-                       FROM events)
-            SELECT coalesce(CASE norm WHEN 'click' THEN 'engage'
-                                      WHEN 'view' THEN 'engage'
-                                      WHEN 'purchase' THEN 'convert' END,
-                            norm) AS rating_class, count(*) AS n
-            FROM n GROUP BY rating_class
+            GROUP BY k
+            UNION ALL
+            SELECT 'rating' AS kind, k, count(*) AS n
+            FROM (SELECT coalesce(
+                     CASE replace(replace(lower(event_type), ' ', '_'), '-', '_')
+                       WHEN 'click' THEN 'engage'
+                       WHEN 'view' THEN 'engage'
+                       WHEN 'purchase' THEN 'convert' END,
+                     replace(replace(lower(event_type), ' ', '_'), '-', '_')) AS k
+                  FROM events)
+            GROUP BY k
         """,
         "q29_distinct_counts": """
             SELECT l_returnflag,
@@ -1449,7 +1486,7 @@ def oracle_sql() -> dict[str, str]:
                    floor(sum(o_totalprice) * 100.0 + 0.5) / 100.0 AS sum_total
             FROM merged GROUP BY o_orderstatus
         """,
-        "q32_target_price": """
+        "q32_filing_scalars": """
             WITH c AS (
               SELECT o_orderkey,
                      CASE WHEN o_orderkey % 7 = 0 THEN 'n/a'
@@ -1461,31 +1498,28 @@ def oracle_sql() -> dict[str, str]:
               SELECT o_orderkey,
                      TRY_CAST(regexp_replace(raw, '[,$₩]', '', 'g') AS DOUBLE) AS pv
               FROM c)
-            SELECT o_orderkey,
+            SELECT o.o_orderkey,
                    CASE WHEN pv IS NOT NULL AND pv <> 0 THEN pv END AS target_price,
-                   CASE WHEN pv IS NOT NULL AND pv <> 0 THEN 'USD' END AS currency
-            FROM p
-        """,
-        "q33_filing_range": """
-            SELECT o_orderkey,
-                   CASE WHEN o_orderkey % 3 = 0 THEN strftime(o_orderdate, '%Y-%m-%d')
-                        WHEN o_orderkey % 3 = 1 THEN strftime(o_orderdate, '%Y-%m-%d')
+                   CASE WHEN pv IS NOT NULL AND pv <> 0 THEN 'USD' END AS currency,
+                   CASE WHEN o.o_orderkey % 3 = 0 THEN strftime(o_orderdate, '%Y-%m-%d')
+                        WHEN o.o_orderkey % 3 = 1 THEN strftime(o_orderdate, '%Y-%m-%d')
                         ELSE '2024-06-30' END AS range_start,
-                   CASE WHEN o_orderkey % 3 = 0
+                   CASE WHEN o.o_orderkey % 3 = 0
                           THEN strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d')
-                        WHEN o_orderkey % 3 = 1 THEN strftime(o_orderdate, '%Y-%m-%d')
-                        ELSE '2024-06-30' END AS range_end
-            FROM orders
-        """,
-        "q34_filing_metadata": """
-            SELECT o_orderkey,
-                   CASE WHEN o_orderkey % 11 = 0 THEN NULL
+                        WHEN o.o_orderkey % 3 = 1 THEN strftime(o_orderdate, '%Y-%m-%d')
+                        ELSE '2024-06-30' END AS range_end,
+                   CASE WHEN o.o_orderkey % 11 = 0 THEN NULL
                         ELSE strftime(o_orderdate, '%Y-%m-%d') END AS filing_date,
                    o_orderpriority AS document_type,
                    concat('corp-', CAST(o_custkey AS VARCHAR)) AS company_name,
-                   concat('http://filings.example/', CAST(o_orderkey AS VARCHAR)) AS filing_url,
-                   '{}' AS xbrl
-            FROM orders
+                   concat('http://filings.example/', CAST(o.o_orderkey AS VARCHAR)) AS filing_url,
+                   '{}' AS xbrl,
+                   strftime(CASE WHEN dayofweek(o_orderdate) = 0
+                                 THEN o_orderdate - INTERVAL 2 DAY
+                                 WHEN dayofweek(o_orderdate) = 6
+                                 THEN o_orderdate - INTERVAL 1 DAY
+                                 ELSE o_orderdate END, '%Y-%m-%d') AS trade_date
+            FROM orders o JOIN p ON o.o_orderkey = p.o_orderkey
         """,
         "q36_pagerank": """
             WITH edges AS (
@@ -1546,21 +1580,29 @@ def oracle_sql() -> dict[str, str]:
               FROM scored)
             SELECT q_id, n_id, cos, rank FROM ranked WHERE rank <= 5
         """,
-        "q37_winnowing": f"""
-            WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
-            g AS (
-              SELECT doc_id,
-                     [{_H60.format(x="substr(text, i, 8)")}
-                      for i in generate_series(1, greatest(len(text) - 7, 0))] AS hashes
-              FROM d),
-            m AS (
-              SELECT doc_id,
-                     list_sort(list_distinct(
-                       [list_min(hashes[i:i+3])
-                        for i in generate_series(1, greatest(len(hashes) - 3, 0))])) AS fps
-              FROM g)
-            SELECT doc_id, unnest(fps) AS fp FROM m
+        # q58: IVFADC in exact mode degenerates to exact cosine top-k
+        # (all cells probed + perfect reconstruction + Catalyst
+        # re-score), so the oracle is the same brute force as
+        # q35b/q57b over the identical corpus/query slices
+        "q58_ivfpq": f"""
+            WITH c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 2000),
+            scored AS (
+              SELECT q.vec_id AS q_id, t.vec_id AS n_id,
+                     {_SQL_COS.format(a='q.embedding', b='t.embedding')} AS cos
+              FROM (SELECT * FROM c WHERE vec_id % 100 = 0) q
+              CROSS JOIN c t
+              WHERE q.vec_id != t.vec_id),
+            ranked AS (
+              SELECT q_id, n_id, cos, CAST(row_number() OVER (
+                PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS INTEGER) AS rank
+              FROM scored)
+            SELECT q_id, n_id, cos, rank FROM ranked WHERE rank <= 5
         """,
+        # q59: the LMS training loop unrolled as CTEs — the fixed-point
+        # (floor·1e9 → BIGINT sum) gradients make each iteration's
+        # weights BIT-IDENTICAL to the Spark DataFrame job's, so the
+        # final scores value-hash across engines
+        "q59_quality_classify": _sql_quality_classify(),
         "q38_winnowing_pairs": f"""
             WITH {_winnow_pairs_cte}
             SELECT id1, id2, n_shared FROM pairs WHERE n_shared >= 2

@@ -30,8 +30,8 @@ from hyperion_crawler_spark.plans.bench_workload import (  # noqa: E402
 
 BENCH_QUERIES = [
     "q01_first_wins_dedup",
-    "q03_topk_per_key",
-    "q09_merge_upsert",
+    "q02_latest_topk",        # r5: absorbed q03_topk_per_key
+    "q31_merge_with_delete",  # r5: absorbed q09_merge_upsert
     "q13_fk_semi_anti",
     "q16_ngram_jaccard",
     "q19_simhash",
@@ -48,6 +48,12 @@ BENCH_QUERIES = [
     "q52_audio_windows",
     "q54_decontaminate",
     "q55_span_dedup",
+    "q53_mix_sample",
+    "q56_token_freq",
+    "q57_pq_topk",
+    # round-5 operator surface
+    "q58_ivfpq",
+    "q59_quality_classify",
 ]
 
 CRAWL_BENCH_URLS = int(os.environ.get("BENCH_CRAWL_URLS", 2_000_000))

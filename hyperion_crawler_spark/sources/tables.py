@@ -37,14 +37,24 @@ base/loader.py:144-186), ``overwrite_partitions`` = REPLACE
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
+import time
 import uuid
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+
+class CommitConflict(Exception):
+    """A concurrent writer committed the snapshot version this commit
+    targeted (the manifest's exclusive-create lost the race). Callers
+    re-read the new head, rebase their file list, and retry — the
+    Iceberg optimistic-commit protocol. Never escapes the public ops;
+    raised/caught inside their retry loops."""
 
 
 def _atomic_write_json(path: str, obj) -> None:
@@ -54,6 +64,26 @@ def _atomic_write_json(path: str, obj) -> None:
         f.flush()
         os.fsync(f.fileno())
     os.rename(tmp, path)
+
+
+def _exclusive_write_json(path: str, obj) -> None:
+    """Write ``obj`` to ``path`` failing with CommitConflict if the
+    path already exists: write a tmp file, then ``os.link`` it into
+    place — link is atomic AND exclusive (unlike ``os.rename``, which
+    silently replaces), so exactly one of two racing committers wins
+    and the loser learns it lost. This is the commit point of every
+    snapshot version."""
+    tmp = f"{path}.tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        json.dump(obj, f)
+        f.flush()
+        os.fsync(f.fileno())
+    try:
+        os.link(tmp, path)
+    except FileExistsError as e:
+        raise CommitConflict(path) from e
+    finally:
+        os.unlink(tmp)
 
 
 @dataclass
@@ -66,7 +96,8 @@ class FileEntry:
 class SnapshotTable:
     def __init__(self, root: str, name: str, partition_col: str | None = None,
                  sort_cols: list | None = None, merge_on_read: bool = False,
-                 compact_after: int = 32, schema_evolving: bool = False):
+                 compact_after: int = 32, schema_evolving: bool = False,
+                 writer: str | None = None):
         """``sort_cols``: Column sort expressions applied within each
         data file at write time (Iceberg table sort-order analog) — the
         frontier uses (priority DESC, urlhash ASC) so the priority queue
@@ -92,6 +123,17 @@ class SnapshotTable:
         self.name = name
         self.partition_col = partition_col
         self.sort_cols = sort_cols
+        # commit identity for the optimistic-commit rebase: an
+        # intervening commit by a DIFFERENT writer (e.g. the seed-ingest
+        # daemon next to a crawl) is carried through a rebase; one by
+        # the SAME writer that never reached the round log is a crashed
+        # attempt's orphan and is dropped (exactly the redo discipline
+        # base_versions() encodes). None = anonymous single writer.
+        self.writer = writer
+        # optional hook (set by Catalog.table): () -> set of this
+        # table's versions referenced by ANY round-log entry — a logged
+        # same-writer commit is durable, not an orphan
+        self.log_lookup = None
         self.merge_on_read = merge_on_read
         self.compact_after = compact_after
         # widened-schema tables (lineage-style) opt into footer-merged
@@ -129,6 +171,16 @@ class SnapshotTable:
             self.schema_evolving = True
         if self.partition_col is None:
             self.partition_col = props.get("partition_col")
+        elif (props.get("partition_col") is not None
+              and props["partition_col"] != self.partition_col):
+            # same hard error Catalog.table raises: a bare handle with a
+            # conflicting layout must not silently rewrite the durable
+            # declaration (ADVICE r4 — the silent-downgrade the props
+            # file exists to prevent)
+            raise ValueError(
+                f"table {name!r} declared with partition_col="
+                f"{props['partition_col']!r} in props.json; got conflicting "
+                f"{self.partition_col!r}")
         self.sorted_declared = bool(props.get("sorted")) or sort_cols is not None
         self._sync_props(props)
 
@@ -168,13 +220,67 @@ class SnapshotTable:
             return json.load(f)
 
     def _commit(self, files: list[dict], meta: dict | None = None,
-                keys: list[str] | None = None) -> int:
-        ver = (self.current_version() or 0) + 1
-        manifest = {"version": ver, "files": files, "meta": meta or {}}
+                keys: list[str] | None = None, ver: int | None = None) -> int:
+        """Commit a new snapshot at ``ver`` (default head+1) via
+        exclusive manifest create. Raises CommitConflict when a
+        concurrent writer took that version — the caller's retry loop
+        re-reads the head, rebases, and tries again. The committing
+        writer's identity is recorded for the rebase walk."""
+        if ver is None:
+            ver = (self.current_version() or 0) + 1
+        manifest = {"version": ver, "files": files, "meta": meta or {},
+                    "writer": self.writer}
         if keys and any(f.get("kind") == "delta" for f in files):
             manifest["keys"] = keys  # reconcile keys for merge-on-read readers
-        _atomic_write_json(os.path.join(self.dir, "snapshots", f"v{ver:06d}.json"), manifest)
+        _exclusive_write_json(
+            os.path.join(self.dir, "snapshots", f"v{ver:06d}.json"), manifest)
         return ver
+
+    def _rebased_files(self, base_ver: int | None, head_ver: int) -> list[dict]:
+        """File list for a commit computed against ``base_ver`` when the
+        head has advanced to ``head_ver``: start from the base snapshot
+        and REPLAY the file-level diff (additions + removals) of each
+        intervening commit that must survive — commits by OTHER writers
+        (a concurrent daemon batch), and same-writer commits that are
+        referenced in the round log (durable). Same-writer commits
+        absent from the log are a crashed attempt's uncheckpointed
+        leftovers: their diffs are skipped, which orphans their files —
+        the exact redo discipline ``Catalog.base_versions`` encodes,
+        now correct under concurrency too.
+
+        Known limit (documented): if a foreign commit COMPACTED state
+        that included an orphaned same-writer delta, the fold bakes the
+        orphan in. The daemon only appends small delta batches between
+        crawl rounds, so the window requires a crash + a foreign
+        compaction inside one round — accepted at this round's scope."""
+        base = base_ver or 0
+        base_files = self._live_files(base_ver)
+        if head_ver <= base:
+            return base_files
+        logged: set[int] = set()
+        if self.log_lookup is not None:
+            logged = self.log_lookup()
+        files = {f["path"]: f for f in base_files}
+        try:
+            prev = self._live_files(base)
+            for v in range(base + 1, head_ver + 1):
+                m = self._manifest(v)
+                cur = m["files"]
+                if m.get("writer") != self.writer or v in logged:
+                    prev_paths = {f["path"] for f in prev}
+                    cur_paths = {f["path"] for f in cur}
+                    for p in prev_paths - cur_paths:
+                        files.pop(p, None)
+                    for f in cur:
+                        if f["path"] not in prev_paths:
+                            files[f["path"]] = f
+                prev = cur
+        except FileNotFoundError:
+            # an intervening manifest was expired — only maintenance
+            # (single-writer, between rounds) expires, so the old
+            # base-only semantics are the safe answer
+            return base_files
+        return list(files.values())
 
     def _live_files(self, version: int | None = None) -> list[dict]:
         ver = version if version is not None else self.current_version()

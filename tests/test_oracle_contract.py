@@ -15,8 +15,8 @@ SUBSET = [
     "q01_first_wins_dedup",   # agg-form dedup
     "q04_consensus_histogram",
     "q06_scalar_clean",       # portable rounding
-    "q09_merge_upsert",
-    "q17_minhash_signature",  # portable hashing
+    "q31_merge_with_delete",
+    "q18_minhash_lsh_pairs",  # portable hashing
     "q19_simhash",
     "q20_embedding_topk",     # float parity
     "q22_text_quality",
