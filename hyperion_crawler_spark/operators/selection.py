@@ -6,9 +6,15 @@ REPRODUCIBLE and cluster-order-independent: ``df.sample()`` seeds per
 partition, so a repartition, an AQE re-plan, or a resume changes which
 rows survive. The standard fix is content-hash Bernoulli sampling:
 keep a row iff ``hash(key) mod M < rate·M``. The decision depends only
-on the row's key — stable across runs, partitionings, engines, and
+on the row's key — stable across runs, partitionings, and engines, and
 (with the portable 60-bit SHA-256 hash this repo uses for its DuckDB
-oracles) exactly mirrorable in ANSI SQL (q53).
+oracles) mirrorable in ANSI SQL (q53) — PROVIDED the mirror computes
+the ``rate * M`` threshold in IEEE double like this module does. A
+mirror that evaluates it in DECIMAL arithmetic diverges by one
+boundary bucket for rates not exactly representable in binary
+(0.3 · 10000 → 2999.999… in double vs 3000 in decimal); either write
+the SQL threshold as a double expression (DuckDB: ``0.3e0 * 10000``)
+or pre-round the threshold to an integer on BOTH sides (ADVICE r4).
 
 Scale shape: pure Catalyst filter — no shuffle, no RNG state, pushes
 down past column pruning; the per-source rate lookup is a literal CASE

@@ -610,6 +610,7 @@ def ivfpq_index(corpus: DataFrame, dim: int, n_centroids: int = 16,
 
     nc = min(n_centroids, len(x))
     cents = _unit(x[:nc].copy())               # hash-ordered seeds
+    means = x[:nc].copy()
     for _ in range(coarse_iters):
         assign = (x @ cents.T).argmax(axis=1)  # cosine cells: unit cents
         new = cents.copy()
@@ -618,7 +619,19 @@ def ivfpq_index(corpus: DataFrame, dim: int, n_centroids: int = 16,
             if mask.any():
                 new[c] = x[mask].mean(axis=0)
         cents = _unit(new)
-    resid = x - cents[(x @ cents.T).argmax(axis=1)]
+    # residuals against the cell's actual MEAN, not the unit direction:
+    # subtracting a unit vector from data of a different norm INFLATES
+    # residual variance (measured: worse-than-PQ recall on diffuse
+    # vectors); the k-means mean is the variance-minimizing origin.
+    # Assignment/probing stay on the unit centroids (cosine cells).
+    assign = (x @ cents.T).argmax(axis=1)
+    for c in range(nc):
+        mask = assign == c
+        if mask.any():
+            means[c] = x[mask].mean(axis=0)
+        else:
+            means[c] = cents[c]
+    resid = x - means[assign]
     books = _lloyd_blocks(resid, m_blocks, k_codes, train_iters)
     m_blocks, _, sub = books.shape
 
@@ -631,18 +644,18 @@ def ivfpq_index(corpus: DataFrame, dim: int, n_centroids: int = 16,
         T.StructField("recon_norm", T.DoubleType()),
     ])
     sc = corpus.sparkSession.sparkContext
-    bc = sc.broadcast((cents, books))
+    bc = sc.broadcast((cents, means, books))
 
     def kernel(batches):
-        cm, cb = bc.value
+        cm, mm, cb = bc.value
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             xm = np.array(list(pdf["_v"]), dtype=np.float64)
             cid = (xm @ cm.T).argmax(axis=1)
-            res = xm - cm[cid]
+            res = xm - mm[cid]
             codes = np.zeros((len(xm), len(cb)), dtype=np.int32)
-            recon = cm[cid].copy()
+            recon = mm[cid].copy()
             for m in range(len(cb)):
                 rb = res[:, m * sub:(m + 1) * sub]
                 d2 = ((rb[:, None, :] - cb[m][None, :, :]) ** 2).sum(axis=2)
@@ -653,7 +666,7 @@ def ivfpq_index(corpus: DataFrame, dim: int, n_centroids: int = 16,
                                 "codes": list(codes),
                                 "recon_norm": np.linalg.norm(recon, axis=1)})
 
-    return cents, books, narrowed.mapInPandas(kernel, schema)
+    return cents, means, books, narrowed.mapInPandas(kernel, schema)
 
 
 def ivfpq_topk(queries: DataFrame, corpus: DataFrame | None = None,
@@ -693,7 +706,7 @@ def ivfpq_topk(queries: DataFrame, corpus: DataFrame | None = None,
         index = ivfpq_index(corpus, dim, n_centroids, m_blocks, k_codes,
                             coarse_iters, train_iters, sample_cap,
                             id_col, vec_col)
-    cents, books, encoded = index
+    cents, means, books, encoded = index
     if encoded is None:                         # empty corpus
         return (queries.select(F.col(id_col).alias("q_id"))
                 .withColumn("n_id", F.col("q_id"))
@@ -713,10 +726,14 @@ def ivfpq_topk(queries: DataFrame, corpus: DataFrame | None = None,
     q_ids = np.array([r["q_id"] for r in q_rows])
     q_norm = np.linalg.norm(qm, axis=1)
     q_norm[q_norm == 0] = 1.0
-    qdotc = qm @ cents.T                        # (nq, n_cells)
+    # probe by the ASSIGNMENT metric (unit centroids — must match the
+    # corpus-side cell function); the additive score bias is q·mean
+    # (recon = mean + decoded residual)
+    qdota = qm @ cents.T                        # (nq, n_cells) probe scores
+    qdotc = qm @ means.T                        # (nq, n_cells) ADC bias
     npb = min(n_probe, cents.shape[0])
-    probe = np.zeros_like(qdotc, dtype=bool)
-    np.put_along_axis(probe, np.argsort(-qdotc, axis=1)[:, :npb], True, axis=1)
+    probe = np.zeros_like(qdota, dtype=bool)
+    np.put_along_axis(probe, np.argsort(-qdota, axis=1)[:, :npb], True, axis=1)
     probed_cells = sorted(int(c) for c in np.nonzero(probe.any(axis=0))[0])
     # ADC tables: adc[qi, m, c] = q_block · residual-centroid_mc
     adc = np.stack([qm[:, m * sub:(m + 1) * sub] @ books[m].T

@@ -44,15 +44,20 @@ def run_crawl(spark: SparkSession, store_dir: str, cfg: CrawlConfig,
     ``corpus_table``/``corpus_buckets``: read the payload corpus from a
     bucketed SnapshotTable with per-round file pruning (see run_round).
     """
-    cat = Catalog(store_dir)
+    cat = Catalog(store_dir, writer="crawl")
     if robots_txt is not None:
         from ..functions.robots import rules_from_robots
 
         robots = rules_from_robots(robots_txt, agent=agent,
                                    default_max_per_round=cfg.default_host_budget)
     metrics: list[dict] = []
-    last = cat.last_round()
-    if last is None:
+    rounds = cat.completed_rounds()
+    last = max(rounds) if rounds else None
+    # bootstrap unless the store was already SEEDED (``_seeded`` marker
+    # from init_frontier): a round-0 entry created only by the ingest
+    # daemon's folds means seeds were streamed in but the crawl's own
+    # seed list was never planted — init merges it on top (r5)
+    if last is None or (last == 0 and not rounds.get(0, {}).get("_seeded")):
         metrics.append(init_frontier(spark, cat, cfg, seeds))
         last = 0
     for r in range(last + 1, n_rounds + 1):

@@ -97,28 +97,38 @@ def init_frontier(spark: SparkSession, cat, cfg: CrawlConfig, seeds: DataFrame) 
     """Round -1 bootstrap: seeds → canonical frontier rows, all marked
     seen (a URL is 'seen' once it enters the frontier — never re-added).
 
-    Refuses to run on a store whose round log already has entries: the
-    bootstrap OVERWRITES frontier + seen state, so calling it on a
-    store that already holds committed work (a crawled frontier, or
-    seeds streamed in via ``streaming.seed_ingest`` — which commits
-    its merges as round 0) would silently discard that state.
-    ``run_crawl`` only bootstraps when ``last_round()`` is None, so
-    this guard protects direct callers."""
-    if cat.last_round() is not None:
+    Seeds MERGE ONTO the store's current state (probed against the
+    current seen filters) rather than overwriting it, so a store the
+    continuous ingest daemon already streamed seeds into is extended,
+    not clobbered — the daemon may legally start before the crawl's
+    first round (r5; before, the bootstrap overwrote and therefore had
+    to refuse any pre-existing state). On a virgin store the merge IS
+    the first write, byte-identical to the old overwrite. The round-0
+    entry carries a ``_seeded`` marker so ``run_crawl`` can tell a
+    bootstrapped store from one that only ever saw daemon ingestion.
+
+    Still refuses on a store with committed CRAWL work (a crawled
+    round, or a prior bootstrap): re-seeding those is a caller bug."""
+    rounds = cat.completed_rounds()
+    if rounds and (max(rounds) > 0 or rounds.get(0, {}).get("_seeded")):
         raise ValueError(
-            "init_frontier on a store with committed rounds "
-            f"(last_round={cat.last_round()}); it would overwrite the "
+            "init_frontier on a store with committed crawl rounds "
+            f"(last_round={cat.last_round()}); it would re-seed the "
             "existing frontier/seen state. Resume with run_crawl, or "
             "point at a fresh store directory.")
     frontier_t = _frontier_table(cat)
     seen_t = cat.table("seen_filters", "shard")
     seen_exact_t = cat.table("seen_exact", "shard")
+    base = cat.base_versions()
 
     cand = canonical_url_rows(
         seeds, "url", "image_id", "priority", cfg, [F.col("image_id")],
     )
-    empty_filters = spark.createDataFrame([], "shard int, filter_bytes binary, n_items long")
-    unseen, filters, probe_cache = probe_and_update(cand, empty_filters, cfg)
+    current = seen_t.read(spark, version=base.get("seen_filters"))
+    if current is None:
+        current = spark.createDataFrame(
+            [], "shard int, filter_bytes binary, n_items long")
+    unseen, filters, probe_cache = probe_and_update(cand, current, cfg)
     rows = (
         unseen.withColumn("status", F.lit("queued"))
         .withColumn("retry_count", F.lit(0))
@@ -127,12 +137,17 @@ def init_frontier(spark: SparkSession, cat, cfg: CrawlConfig, seeds: DataFrame) 
         .select(*FRONTIER_COLS)
     )
     versions = {
-        "frontier": frontier_t.overwrite(rows),
-        "seen_filters": seen_t.overwrite(filters),
+        "frontier": frontier_t.merge(spark, rows, ["urlhash"],
+                                     base_version=base.get("frontier")),
+        "seen_filters": seen_t.merge(spark, filters, ["shard"],
+                                     base_version=base.get("seen_filters")),
+        "_seeded": 1,
     }
     if cfg.exact_seen_shadow:
-        versions["seen_exact"] = seen_exact_t.overwrite(unseen.select("urlhash", "shard"))
-    cat.commit_round(0, versions)
+        versions["seen_exact"] = seen_exact_t.append(
+            unseen.select("urlhash", "shard"),
+            base_version=base.get("seen_exact", 0))
+    cat.commit_round(0, versions, fold=True)
     n = rows.count()
     probe_cache.unpersist()
     return {"round": 0, "seeded": n}
@@ -253,45 +268,88 @@ def run_round(spark: SparkSession, cat, cfg: CrawlConfig, round_idx: int,
     archive_rows = terminal_rows.select(*FRONTIER_COLS) \
         .withColumn("archived_round", F.lit(round_idx)).persist()
 
-    # --- metrics: ONE multi-aggregate job over the persisted frames
-    # (replaces five separate count() actions — driver round-trips are
-    # the fixed cost of a round at small scale and on a real cluster)
+    # --- metrics: ONE scan of the results cache produces BOTH the
+    # per-partition lineage rows (collected — bounded by partition
+    # count) and, summed driver-side, the round totals; a second small
+    # job covers the discovery-side counts and materializes the
+    # remaining caches so the parallel commits below never race to
+    # evaluate them. (Replaces the earlier global agg + separate
+    # lineage agg — one fewer scan of the biggest cached frame.)
     t = _mark("plan_build", t)
-    mrow = results.agg(
-        F.count("*").alias("n_sched"),
-        F.sum(F.when(F.col("status") == "fetched", 1).otherwise(0)).alias("n_fetched"),
-        F.sum(F.when(F.col("status") == "failed", 1).otherwise(0)).alias("n_failed"),
-    ).crossJoin(cand.agg(F.count("*").alias("n_cand")))      .crossJoin(unseen.agg(F.count("*").alias("n_unseen"))).first()
-    n_sched, n_fetched, n_failed = mrow["n_sched"], mrow["n_fetched"], mrow["n_failed"]
-    n_cand, n_unseen = mrow["n_cand"], mrow["n_unseen"]
-    t = _mark("compute_metrics", t)
-    lineage = (
+    lin_rows = (
         results.groupBy(F.spark_partition_id().alias("partition_id"))
         .agg(
             F.count("*").alias("urls_scheduled"),
             F.sum(F.when(F.col("status") == "fetched", 1).otherwise(0)).alias("fetched"),
             F.sum(F.when(F.col("status") == "failed", 1).otherwise(0)).alias("failed"),
-        )
-        .select(
-            F.lit(round_idx).alias("round"), "partition_id",
-            F.lit("success").alias("status"), "urls_scheduled", "fetched", "failed",
-            F.lit(n_cand - n_unseen).cast("long").alias("deduped"),
-        )
+        ).collect()
     )
+    n_sched = sum(r["urls_scheduled"] for r in lin_rows)
+    n_fetched = sum(r["fetched"] for r in lin_rows)
+    n_failed = sum(r["failed"] for r in lin_rows)
+    mrow = (cand.agg(F.count("*").alias("n_cand"))
+            .crossJoin(unseen.agg(F.count("*").alias("n_unseen")))
+            .crossJoin(archive_rows.agg(F.count("*").alias("n_arch"))).first())
+    n_cand, n_unseen = mrow["n_cand"], mrow["n_unseen"]
+    t = _mark("compute_metrics", t)
+    lineage = spark.createDataFrame(
+        [(round_idx, r["partition_id"], "success", r["urls_scheduled"],
+          r["fetched"], r["failed"], int(n_cand - n_unseen))
+         for r in lin_rows],
+        "round int, partition_id int, status string, urls_scheduled long, "
+        "fetched long, failed long, deduped long")
 
     # --- commits (snapshot per table; round commit = checkpoint) ----
+    # Independent tables commit IN PARALLEL: every input cache is
+    # materialized above, so the five jobs only scan caches, and Spark
+    # schedules them concurrently across the executor cores a single
+    # sequential job leaves idle (measured ~1.6x on the full round at
+    # sf0.1). Each table still gets exactly one deterministic commit —
+    # resume/redo semantics are untouched; the optimistic commit
+    # protocol makes concurrent versioning safe by construction.
+    from concurrent.futures import ThreadPoolExecutor
+
     versions = {}
-    versions["results"] = results_t.append(
-        results.select("urlhash", "url", "host", "image_id",
-                       F.lit(round_idx).alias("round"), "status",
-                       "psnr_db", "caption_ok", "phash", "caption"),
-        base_version=base.get("results", 0))
-    t = _mark("write_results", t)
-    versions["frontier"] = frontier_t.merge(
-        spark, frontier_merge, ["urlhash"],
-        delete_keys=archive_rows.select("urlhash", "shard"),
-        base_version=base.get("frontier"))
-    t = _mark("merge_frontier", t)
+
+    def _commit_results():
+        return results_t.append(
+            results.select("urlhash", "url", "host", "image_id",
+                           F.lit(round_idx).alias("round"), "status",
+                           "psnr_db", "caption_ok", "phash", "caption"),
+            base_version=base.get("results", 0))
+
+    def _commit_frontier():
+        # retries/new rows and terminal rows partition one result set
+        # (status != 'queued' exactly complements), and archive_rows
+        # carries one row per urlhash — both merge fast-path flags hold
+        return frontier_t.merge(
+            spark, frontier_merge, ["urlhash"],
+            delete_keys=archive_rows.select("urlhash", "shard"),
+            base_version=base.get("frontier"),
+            disjoint_delete_keys=True, unique_delete_keys=True)
+
+    def _commit_archive():
+        return cat.table("archive", "shard").append(
+            archive_rows, base_version=base.get("archive", 0))
+
+    def _commit_seen():
+        return seen_t.merge(spark, new_filters, ["shard"],
+                            base_version=base.get("seen_filters"))
+
+    def _commit_seen_exact():
+        return seen_exact_t.append(
+            unseen.select("urlhash", "shard"),
+            base_version=base.get("seen_exact", 0))
+
+    jobs = {"results": _commit_results, "frontier": _commit_frontier,
+            "archive": _commit_archive, "seen_filters": _commit_seen}
+    if cfg.exact_seen_shadow:
+        jobs["seen_exact"] = _commit_seen_exact
+    with ThreadPoolExecutor(max_workers=len(jobs)) as pool:
+        futs = {name: pool.submit(fn) for name, fn in jobs.items()}
+        for name, fut in futs.items():
+            versions[name] = fut.result()
+    t = _mark("commit_tables", t)
     if cfg.rescore_every:
         # Incremental fetched-source set (seen-filter pattern): each
         # round APPENDS its fetched URLs (a URL is fetched in exactly
@@ -352,12 +410,6 @@ def run_round(spark: SparkSession, cat, cfg: CrawlConfig, round_idx: int,
             for h in pinned:  # merge() materialized the blend
                 h.unpersist()
         t = _mark("rescore_priority", t)
-    versions["archive"] = cat.table("archive", "shard").append(
-        archive_rows, base_version=base.get("archive", 0))
-    t = _mark("write_archive", t)
-    versions["seen_filters"] = seen_t.merge(spark, new_filters, ["shard"],
-                                            base_version=base.get("seen_filters"))
-    t = _mark("merge_seen", t)
     # task-log timing (reference CrawlerTaskLog start/end/execution_time,
     # api/src/models/task_log.py:21-23): round wall time + the per-phase
     # seconds measured so far, stamped into the lineage row at append
@@ -374,9 +426,6 @@ def run_round(spark: SparkSession, cat, cfg: CrawlConfig, round_idx: int,
                        sort_keys=True))))
     versions["lineage"] = lineage_t.append(lineage_row, base_version=base.get("lineage", 0))
     t = _mark("write_lineage", t)
-    if cfg.exact_seen_shadow:
-        versions["seen_exact"] = seen_exact_t.append(
-            unseen.select("urlhash", "shard"), base_version=base.get("seen_exact", 0))
     cat.commit_round(round_idx, versions)
 
     for df in (scheduled, results, cand, unseen, probe_cache,

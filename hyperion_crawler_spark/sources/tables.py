@@ -437,6 +437,20 @@ class SnapshotTable:
         return (self._delta_winners(rows, keys)
                 .filter(~F.col("_tomb")).select(*user_cols))
 
+    def _delta_keys(self, head: int) -> list[str]:
+        """Reconcile keys for a (possibly rebased) delta-carrying file
+        list: every manifest that commits delta files records them and
+        they are stable per table, so the newest manifest carrying
+        ``keys`` at or below ``head`` is authoritative."""
+        for v in range(head, 0, -1):
+            try:
+                m = self._manifest(v)
+            except FileNotFoundError:
+                continue
+            if "keys" in m:
+                return m["keys"]
+        raise KeyError(f"table {self.name!r}: no merge keys recorded")
+
     def _scan(self, spark: SparkSession, files: list[dict],
               version: int | None) -> DataFrame:
         if any(f.get("kind") == "delta" for f in files):
@@ -491,16 +505,29 @@ class SnapshotTable:
         and the appended rows land untouched afterwards. Appends to
         merge-on-read tables are rare (the crawl never does it); the
         fold cost is the documented trade."""
-        files = self._live_files(base_version)
-        if any(f.get("kind") == "delta" for f in files):
-            spark = df.sparkSession
-            ver = base_version if base_version is not None else self.current_version()
-            folded = self._reconcile(spark, files, self._manifest(ver)["keys"])
-            files = self._write_data(folded)
-        return self._commit(files + self._write_data(df), meta)
+        entries: list[dict] | None = None
+        while True:
+            head = self.current_version() or 0
+            base = base_version if base_version is not None else head
+            files = self._rebased_files(base, head)
+            if any(f.get("kind") == "delta" for f in files):
+                spark = df.sparkSession
+                folded = self._reconcile(spark, files, self._delta_keys(head))
+                files = self._write_data(folded)
+            if entries is None:  # appended data has no version baked in:
+                entries = self._write_data(df)  # written once, retries reuse
+            try:
+                return self._commit(files + entries, meta, ver=head + 1)
+            except CommitConflict:
+                continue  # optimistic retry: re-read head, rebase
 
     def overwrite(self, df: DataFrame, meta: dict | None = None) -> int:
-        return self._commit(self._write_data(df), meta)
+        entries = self._write_data(df)
+        while True:  # whole-table replace: no rebase, last writer wins
+            try:
+                return self._commit(entries, meta)
+            except CommitConflict:
+                continue
 
     def overwrite_partitions(self, spark: SparkSession, df: DataFrame, part_values: list[int],
                              meta: dict | None = None) -> int:
@@ -512,19 +539,28 @@ class SnapshotTable:
         files only — rewriting raw delta rows as base files would
         resurrect tombstoned keys and leak ``_seq``/``_tomb`` columns."""
         assert self.partition_col is not None
-        if any(f.get("kind") == "delta" for f in self._live_files()):
-            self.compact(spark)
-        keep, rewrite = self._prune(part_values)
-        carried = keep
-        if rewrite:
-            old = self._read_files(spark, rewrite)
-            residual = old.filter(~F.col(self.partition_col).isin(part_values))
-            carried = keep + self._write_data(residual)
-        return self._commit(carried + self._write_data(df), meta)
+        entries = self._write_data(df)
+        while True:  # recompute the carried set from the head per retry
+            head = self.current_version() or 0
+            if any(f.get("kind") == "delta" for f in self._live_files()):
+                self.compact(spark)
+                head = self.current_version() or 0
+            keep, rewrite = self._prune(part_values)
+            carried = keep
+            if rewrite:
+                old = self._read_files(spark, rewrite)
+                residual = old.filter(~F.col(self.partition_col).isin(part_values))
+                carried = keep + self._write_data(residual)
+            try:
+                return self._commit(carried + entries, meta, ver=head + 1)
+            except CommitConflict:
+                continue
 
     def merge(self, spark: SparkSession, source: DataFrame, keys: list[str],
               delete_keys: DataFrame | None = None, meta: dict | None = None,
-              base_version: int | None = None) -> int:
+              base_version: int | None = None,
+              disjoint_delete_keys: bool = False,
+              unique_delete_keys: bool = False) -> int:
         """MERGE INTO this USING source ON keys
         WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *,
         plus WHEN MATCHED (delete_keys) THEN DELETE.
@@ -544,6 +580,14 @@ class SnapshotTable:
         The source (and delete set) are evaluated up to three times
         (partition-value collect, survivor anti-join, union write) —
         merge persists them internally; callers need not.
+
+        ``disjoint_delete_keys``: caller guarantees no key appears in
+        BOTH source and delete_keys — skips the delete-wins anti-join
+        (one exchange) that otherwise enforces it.
+        ``unique_delete_keys``: caller guarantees delete_keys is
+        already key-unique — skips the tombstone distinct (another
+        exchange). The crawl round sets both: its retries/new rows and
+        terminal rows partition one result set, keyed uniquely.
         """
         pinned: list[DataFrame] = []
 
@@ -558,28 +602,45 @@ class SnapshotTable:
         if delete_keys is not None:
             delete_keys = _pin(delete_keys)
         try:
-            return self._merge_impl(spark, source, keys, delete_keys, meta, base_version)
+            # optimistic-commit loop: compute against the (rebased) base,
+            # commit at head+1 via exclusive create; a lost race re-reads
+            # the new head, rebases the file list (carrying a concurrent
+            # writer's commits, orphaning a crashed same-writer attempt)
+            # and recomputes — the Iceberg retry protocol. The pinned
+            # source makes retries cheap (no plan re-evaluation).
+            while True:
+                head = self.current_version() or 0
+                base = base_version if base_version is not None else head
+                files = self._rebased_files(base, head)
+                try:
+                    return self._merge_impl(
+                        spark, source, keys, delete_keys, meta, files,
+                        head + 1, disjoint_delete_keys, unique_delete_keys)
+                except CommitConflict:
+                    continue
         finally:
             for df in pinned:
                 df.unpersist()
 
     def _merge_impl(self, spark: SparkSession, source: DataFrame, keys: list[str],
                     delete_keys: DataFrame | None, meta: dict | None,
-                    base_version: int | None) -> int:
+                    files: list[dict], ver: int,
+                    disjoint_delete_keys: bool = False,
+                    unique_delete_keys: bool = False) -> int:
         # DELETE-wins: drop source rows whose key is also in delete_keys
         alive = source
-        if delete_keys is not None:
+        if delete_keys is not None and not disjoint_delete_keys:
             alive = source.join(delete_keys.select(*keys).distinct(), keys, "left_anti")
 
-        files = self._live_files(base_version)
         if not files:
-            return self._commit(self._write_data(alive), meta)
+            return self._commit(self._write_data(alive), meta, ver=ver)
         # the manifest is authoritative: once a table carries live delta
         # files it IS merge-on-read, even for a caller that constructed
         # the handle without the flag (a CoW rewrite over delta files
         # would mix schemas and mis-merge)
         if self.merge_on_read or any(f.get("kind") == "delta" for f in files):
-            return self._merge_delta(spark, alive, source, keys, delete_keys, meta, files)
+            return self._merge_delta(spark, alive, source, keys, delete_keys,
+                                     meta, files, ver, unique_delete_keys)
 
         touch_cols = [source]
         if delete_keys is not None:
@@ -590,7 +651,7 @@ class SnapshotTable:
             for d in touch_cols:
                 parts.update(r[0] for r in d.select(self.partition_col).distinct().collect())
             if not parts:  # idle merge: nothing touched, carry files as-is
-                return self._commit(files, meta)
+                return self._commit(files, meta, ver=ver)
             keep, rewrite = self._prune(sorted(parts), files)
         else:
             keep, rewrite = [], files
@@ -606,11 +667,12 @@ class SnapshotTable:
             new_entries += self._write_data(merged)
         else:
             new_entries += self._write_data(alive)
-        return self._commit(new_entries, meta)
+        return self._commit(new_entries, meta, ver=ver)
 
     def _merge_delta(self, spark: SparkSession, alive: DataFrame, source: DataFrame,
                      keys: list[str], delete_keys: DataFrame | None,
-                     meta: dict | None, files: list[dict]) -> int:
+                     meta: dict | None, files: list[dict], ver: int,
+                     unique_delete_keys: bool = False) -> int:
         """Merge-on-read commit: APPEND one delta batch (upserts stamped
         ``_seq=<this version>``, tombstones from ``delete_keys`` with
         ``_tomb=true``) instead of rewriting touched base files. Write
@@ -628,8 +690,12 @@ class SnapshotTable:
         # is a limit(1) over the (pinned) source scan. In the common
         # non-idle case the ``and`` short-circuits after one probe job.
         if source.isEmpty() and (delete_keys is None or delete_keys.isEmpty()):
-            return self._commit(files, meta, keys=keys)  # idle merge
-        seq = (self.current_version() or 0) + 1
+            return self._commit(files, meta, keys=keys, ver=ver)  # idle merge
+        # _seq must equal the commit version: a retry after a lost race
+        # re-enters with a fresh ver and REWRITES the (O(changed-rows))
+        # delta — two writers' deltas then carry distinct, correctly
+        # ordered sequence numbers
+        seq = ver
         delta = (alive.withColumn("_seq", F.lit(seq).cast("long"))
                       .withColumn("_tomb", F.lit(False)))
         if delete_keys is not None:
@@ -638,9 +704,11 @@ class SnapshotTable:
                  else F.lit(None).cast(f.dataType)).alias(f.name)
                 for f in source.schema.fields
             ]
-            tomb = (delete_keys.select(*tomb_cols).distinct()
-                    .withColumn("_seq", F.lit(seq).cast("long"))
-                    .withColumn("_tomb", F.lit(True)))
+            tomb = delete_keys.select(*tomb_cols)
+            if not unique_delete_keys:
+                tomb = tomb.distinct()
+            tomb = (tomb.withColumn("_seq", F.lit(seq).cast("long"))
+                        .withColumn("_tomb", F.lit(True)))
             delta = delta.unionByName(tomb)
         entries = self._write_data(delta)
         for e in entries:
@@ -668,19 +736,23 @@ class SnapshotTable:
                      and _bytes(delta_files) >= self.compact_ratio * _bytes(base_files))
         if ratio_hit or (self.compact_after and n_delta_commits >= self.compact_after):
             folded = self._reconcile(spark, new_files, keys)
-            return self._commit(self._write_data(folded), meta)
-        return self._commit(new_files, meta, keys=keys)
+            return self._commit(self._write_data(folded), meta, ver=ver)
+        return self._commit(new_files, meta, keys=keys, ver=ver)
 
     def compact(self, spark: SparkSession, meta: dict | None = None) -> int:
         """Fold delta files into fresh base files (Iceberg
         ``rewrite_data_files`` analog). No-op (returns the current
         version) when the table has no deltas."""
-        ver = self.current_version()
-        files = self._live_files(ver)
-        if not files or not any(f.get("kind") == "delta" for f in files):
-            return ver or 0
-        df = self._reconcile(spark, files, self._manifest(ver)["keys"])
-        return self._commit(self._write_data(df), meta)
+        while True:
+            ver = self.current_version()
+            files = self._live_files(ver)
+            if not files or not any(f.get("kind") == "delta" for f in files):
+                return ver or 0
+            df = self._reconcile(spark, files, self._manifest(ver)["keys"])
+            try:
+                return self._commit(self._write_data(df), meta, ver=ver + 1)
+            except CommitConflict:
+                continue  # concurrent commit landed: refold from new head
 
     def rewrite_small_files(self, spark: SparkSession,
                             small_bytes: int = 32 << 20,
@@ -715,6 +787,13 @@ class SnapshotTable:
         ver = base_version if base_version is not None else self.current_version()
         if not ver:
             return None
+        if ver != self.current_version():
+            # the head advanced past the requested base (e.g. a crash
+            # after a table commit but before commit_round): a rewrite
+            # built from the stale file list would silently drop the
+            # post-checkpoint files from the new head. Maintenance is
+            # always safe to skip — refuse. (ADVICE r4)
+            return None
         if self.sort_cols is None and self.sorted_declared:
             # a sorted table opened through a bare handle: the Column
             # sort expressions can't be recovered from props.json, and
@@ -734,7 +813,8 @@ class SnapshotTable:
                 os.path.join(self.dir, e["path"])) < small_bytes]
             if len(smalls) >= 2:
                 todo.append((key, smalls))
-                keep.extend(e for e in ents if e not in smalls)
+                small_ids = {id(e) for e in smalls}  # identity, O(n)
+                keep.extend(e for e in ents if id(e) not in small_ids)
             else:
                 keep.extend(ents)
         if not todo:
@@ -762,8 +842,12 @@ class SnapshotTable:
                 if pmin is not None:
                     ent["part_min"], ent["part_max"] = pmin, pmax
                 new_entries.append(ent)
-        return self._commit(keep + new_entries,
-                            meta=self._manifest(ver).get("meta"))
+        try:
+            return self._commit(keep + new_entries,
+                                meta=self._manifest(ver).get("meta"),
+                                ver=ver + 1)
+        except CommitConflict:
+            return None  # concurrent writer won the version: skip, safe
 
     def expire_snapshots(self, retain_versions: set[int] | None = None,
                          keep_last: int = 2) -> dict:
@@ -836,10 +920,25 @@ class Catalog:
     (/root/reference/api/src/models/task_log.py:11-46).
     """
 
-    def __init__(self, root: str):
+    def __init__(self, root: str, writer: str | None = None):
+        """``writer``: this process's commit identity (e.g. "crawl",
+        "seed_ingest") — recorded on every snapshot commit so the
+        optimistic-commit rebase can tell a concurrent OTHER writer's
+        commits (carried) from this writer's crashed-attempt leftovers
+        (orphaned). None = anonymous single writer (tests, ad-hoc)."""
         self.root = root
+        self.writer = writer
         os.makedirs(root, exist_ok=True)
         self._tables: dict[str, SnapshotTable] = {}
+
+    def _logged_versions(self, name: str) -> set[int]:
+        """All versions of table ``name`` referenced by any round-log
+        entry — the durability test the rebase walk uses."""
+        out: set[int] = set()
+        for versions in self.completed_rounds().values():
+            if name in versions:
+                out.add(versions[name])
+        return out
 
     def table(self, name: str, partition_col: str | None = None,
               sort_cols: list | None = None, merge_on_read: bool = False,
@@ -849,7 +948,9 @@ class Catalog:
             self._tables[name] = SnapshotTable(
                 self.root, name, partition_col, sort_cols,
                 merge_on_read=merge_on_read, compact_after=compact_after,
-                schema_evolving=schema_evolving)
+                schema_evolving=schema_evolving, writer=self.writer)
+            self._tables[name].log_lookup = \
+                lambda n=name: self._logged_versions(n)
         # Handles are cached by name, so every declared property must be
         # caller-ORDER-INDEPENDENT: a first caller that omits a flag
         # must not silently downgrade the table for a later caller that
@@ -900,10 +1001,63 @@ class Catalog:
         rounds = self.completed_rounds()
         return max(rounds) if rounds else None
 
-    def commit_round(self, round_idx: int, table_versions: dict[str, int]) -> None:
-        rounds = self.completed_rounds()
-        rounds[round_idx] = table_versions
-        _atomic_write_json(self._rounds_path, {str(k): v for k, v in rounds.items()})
+    @contextlib.contextmanager
+    def _round_lock(self, timeout: float = 30.0):
+        """Short advisory lock serializing round-log read-modify-write
+        cycles between co-located writers (crawl loop + ingest daemon
+        share the driver host — the deployment the daemon documents).
+        Exclusive-create a lockfile; stale locks (holder died) are
+        broken after 60 s."""
+        lock = os.path.join(self.root, "rounds.lock")
+        t0 = time.monotonic()
+        while True:
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                break
+            except FileExistsError:
+                try:
+                    if time.time() - os.path.getmtime(lock) > 60:
+                        os.unlink(lock)  # stale: holder is gone
+                        continue
+                except OSError:
+                    pass  # raced with the holder's release
+                if time.monotonic() - t0 > timeout:
+                    raise TimeoutError(f"round-log lock held: {lock}")
+                time.sleep(0.01)
+        try:
+            os.write(fd, str(os.getpid()).encode())
+            os.close(fd)
+            yield
+        finally:
+            try:
+                os.unlink(lock)
+            except OSError:
+                pass
+
+    def commit_round(self, round_idx: int, table_versions: dict[str, int],
+                     fold: bool = False) -> None:
+        """Checkpoint ``round_idx`` → table versions. ``fold=True``
+        merges ``table_versions`` INTO the existing entry instead of
+        replacing it — the ingest daemon folds only the tables it
+        touched, so a concurrently-committed crawl version of some
+        other table is never clobbered. The read-modify-write runs
+        under the round lock (two writers, one file)."""
+        with self._round_lock():
+            rounds = self.completed_rounds()
+            if fold:
+                entry = dict(rounds.get(round_idx, {}))
+                for k, v in table_versions.items():
+                    # versions are monotone ints and a later commit
+                    # always carries (or rebased over) earlier ones, so
+                    # MAX is the newest state — a daemon batch that
+                    # committed BEFORE the crawl's merge but folds AFTER
+                    # it must not roll the log back to its stale version
+                    entry[k] = max(entry.get(k, 0), v)
+            else:
+                entry = table_versions
+            rounds[round_idx] = entry
+            _atomic_write_json(self._rounds_path,
+                               {str(k): v for k, v in rounds.items()})
 
     def expire(self, keep_rounds: int = 1,
                spark: SparkSession | None = None,

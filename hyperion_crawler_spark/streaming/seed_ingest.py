@@ -71,22 +71,31 @@ def _make_batch(spark: SparkSession, cat, cfg: CrawlConfig):
                 .withColumn("next_fetch_ts", F.lit(0).cast("long"))
                 .withColumn("discovered_round", F.lit(round_idx))
                 .select(*FRONTIER_COLS)).persist()
-        versions = dict(cat.completed_rounds().get(round_idx, {}))
-        versions["frontier"] = frontier_t.merge(
-            spark, rows, ["urlhash"], base_version=base.get("frontier"))
-        versions["seen_filters"] = seen_t.merge(
-            spark, filters, ["shard"], base_version=base.get("seen_filters"))
-        if cfg.exact_seen_shadow:
-            versions["seen_exact"] = seen_exact_t.append(
-                unseen.select("urlhash", "shard"),
-                base_version=base.get("seen_exact", 0))
-        totals["new_urls"] += rows.count()  # served from the cache
-        totals["batches"] += 1
-        rows.unpersist()
-        cache.unpersist()
-        # durability point: fold into the round log LAST — Spark marks
-        # the micro-batch done only after this returns
-        cat.commit_round(round_idx, versions)
+        try:
+            # only the tables THIS batch touches: commit_round(fold=True)
+            # merges them into the round entry under the round lock, so a
+            # concurrently-checkpointing crawl's versions of OTHER tables
+            # are never clobbered (carrying a stale full copy of the
+            # entry was the old lost-update shape)
+            versions = {}
+            versions["frontier"] = frontier_t.merge(
+                spark, rows, ["urlhash"], base_version=base.get("frontier"))
+            versions["seen_filters"] = seen_t.merge(
+                spark, filters, ["shard"], base_version=base.get("seen_filters"))
+            if cfg.exact_seen_shadow:
+                versions["seen_exact"] = seen_exact_t.append(
+                    unseen.select("urlhash", "shard"),
+                    base_version=base.get("seen_exact", 0))
+            totals["new_urls"] += rows.count()  # served from the cache
+            totals["batches"] += 1
+            # durability point: fold into the round log LAST — Spark
+            # marks the micro-batch done only after this returns
+            cat.commit_round(round_idx, versions, fold=True)
+        finally:
+            # exception-safe: a failing/retried batch in the long-running
+            # daemon must not accumulate pinned caches (ADVICE r4)
+            rows.unpersist()
+            cache.unpersist()
 
     return totals, _batch
 

@@ -45,7 +45,7 @@ def main() -> None:
 
     spark = get_spark(app="hyperion-ingest", master=args.master)
     cfg = CrawlConfig(n_shards=args.shards)
-    cat = Catalog(args.store)
+    cat = Catalog(args.store, writer="seed_ingest")
     ckpt = args.checkpoint or os.path.join(args.store, "_ingest_ckpt")
     if args.continuous:
         from hyperion_crawler_spark.streaming.seed_ingest import (

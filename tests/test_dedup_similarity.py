@@ -372,3 +372,117 @@ def test_pq_query_cap_guard(spark):
     import pytest
     with pytest.raises(ValueError, match="cap"):
         SIM.pq_topk(e, e, dim=64, k=1, query_cap=10)
+
+
+# ------------------------------------------------------------- IVFADC
+def test_ivfpq_exact_mode_equals_brute_force(spark):
+    """All cells probed + sample==corpus + one residual centroid per
+    sample sub-vector + zero Lloyd steps → perfect reconstruction →
+    the ADC scan degenerates to exact scoring (the q58 oracle mode)."""
+    e = spark.read.parquet(f"{SF}/embeddings.parquet").limit(300)
+    q = e.filter(F.col("vec_id") % 50 == 0)
+    exact = {(r["q_id"], r["n_id"], r["rank"])
+             for r in SIM.brute_force_topk(q, e, k=5).collect()}
+    got = {(r["q_id"], r["n_id"], r["rank"])
+           for r in SIM.ivfpq_topk(q, e, dim=64, k=5, n_centroids=4,
+                                   n_probe=4, m_blocks=8,
+                                   k_codes=1_000_000, train_iters=0,
+                                   sample_cap=1_000_000).collect()}
+    assert got == exact
+
+
+def test_ivfpq_recall_dominates_pq_alone(spark):
+    """Residual quantization: IVFADC at the same code size (8x64 codes)
+    must match or beat PQ-alone recall@5 vs brute force (Jégou et al.,
+    TPAMI'11 — the point of quantizing residuals, and the round-4
+    verdict's acceptance bar for the composition). Corpus: a
+    CLUSTERED fixture (40 bases × 25 deterministic perturbed copies) —
+    the shape real embeddings have and the one where coarse cells
+    capture structure; fully deterministic (hash-derived perturbation,
+    hash-ordered training samples), so the comparison is exact, not a
+    flaky statistical bound."""
+    e0 = spark.read.parquet(f"{SF}/embeddings.parquet").limit(40) \
+        .select("vec_id", "embedding")
+    rep = spark.range(25).select(F.col("id").alias("rep"))
+    vid = F.col("vec_id") * 100 + F.col("rep")
+    e = (e0.crossJoin(rep)
+         .select(vid.alias("vec_id"),
+                 F.transform("embedding", lambda x: x.cast("double")
+                             + (F.pmod(F.xxhash64(vid), F.lit(1000))
+                                .cast("double") / 1e4 - 0.05))
+                 .alias("embedding")))
+    q = e.filter(F.col("vec_id") % 100 == 0)
+    ex = {}
+    for r in SIM.brute_force_topk(q, e, k=5).collect():
+        ex.setdefault(r["q_id"], set()).add(r["n_id"])
+
+    def recall(rows):
+        an = {}
+        for r in rows:
+            an.setdefault(r["q_id"], set()).add(r["n_id"])
+        return np.mean([len(ex[k] & an.get(k, set())) / len(ex[k])
+                        for k in ex])
+
+    r_ivfpq = recall(SIM.ivfpq_topk(q, e, dim=64, k=5, n_centroids=8,
+                                    n_probe=8, m_blocks=8,
+                                    k_codes=64).collect())
+    r_pq = recall(SIM.pq_topk(q, e, dim=64, k=5, m_blocks=8,
+                              k_codes=64).collect())
+    assert r_ivfpq >= r_pq, \
+        f"IVFADC recall {r_ivfpq:.3f} < PQ-alone {r_pq:.3f}"
+
+
+def test_ivfpq_scan_touches_only_probed_cells(spark):
+    """The work bound the composition exists for: with n_probe=1 the
+    ADC scan's input is pre-filtered to the probed cells by a Catalyst
+    ``cid`` predicate — candidates can only come from probed cells, and
+    the scan-input row count equals those cells' population, not the
+    corpus size."""
+    import numpy as np_
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet").limit(400) \
+        .select("vec_id", "embedding")
+    cents, means, books, encoded = SIM.ivfpq_index(
+        e, dim=64, n_centroids=8, m_blocks=8, k_codes=32)
+    encoded = encoded.persist()
+    try:
+        q = e.filter(F.col("vec_id") % 100 == 0)
+        res = SIM.ivfpq_topk(q, None, dim=64, k=5, n_probe=1,
+                             index=(cents, means, books, encoded)).collect()
+        qm = np_.array([r["embedding"] for r in q.collect()], dtype=float)
+        probed = {int(c) for c in (qm @ cents.T).argmax(axis=1)}
+        cell_of = {r["n_id"]: r["cid"] for r in
+                   encoded.select("n_id", "cid").collect()}
+        assert res and all(cell_of[r["n_id"]] in probed for r in res)
+        # the plan-side prune: scan input == probed-cell population
+        scanned = encoded.filter(F.col("cid").isin(sorted(probed))).count()
+        total = encoded.count()
+        pop = sum(1 for c in cell_of.values() if c in probed)
+        assert scanned == pop < total
+    finally:
+        encoded.unpersist()
+
+
+def test_scrub_repeated_windows_catches_offgrid_repeat(spark):
+    """The round-4 verdict's missing case, pinned: a 12-token block
+    repeated at offset 3 (≢ 0 mod 10) is INVISIBLE to the fixed
+    10-token grid (keeps every chunk) but fully removed by the rolling
+    w=10 window scrub; sub-window repeats (< w tokens) survive."""
+    rows = [
+        (1, "p1 p2 p3 a b c d e f g h i j k l a b c d e f g h i j k l t1 t2"),
+        (2, " ".join(f"x{i}" for i in range(12))),          # no repeats
+        (3, "r r r r r r r r r r r r r r r"),               # overlapping run
+        (4, "a b c a b c a b c a b c"),                     # 3-run < w: kept
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r["doc_id"]: r for r in
+           DD.scrub_repeated_windows(df, "doc_id", "text", w=10).collect()}
+    assert out[1]["text_clean"] == "p1 p2 p3 a b c d e f g h i j k l t1 t2"
+    assert out[1]["n_scrubbed"] == 12
+    grid = DD.dedup_repeated_spans(
+        df.filter(F.col("doc_id") == 1), "doc_id", "text",
+        span_tokens=10).collect()[0]
+    assert grid.n_kept == grid.n_chunks      # the grid provably misses it
+    assert out[2]["n_scrubbed"] == 0
+    assert out[3]["text_clean"] == "r" and out[3]["n_scrubbed"] == 14
+    assert out[4]["n_scrubbed"] == 0         # repeats shorter than w survive

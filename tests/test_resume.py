@@ -68,8 +68,11 @@ def test_mid_round_crash_redo_is_exact(spark, fixture_dfs, crawl_cfg, tmp_path_f
     crash_store = str(tmp_path_factory.mktemp("mr_crash"))
     run_crawl(spark, crash_store, crawl_cfg, n_rounds=3, stop_after_round=2, **kw)
     # simulate a crashed round-3 attempt: results append + frontier
-    # merge landed, then the job died before commit_round(3)
-    cat = Catalog(crash_store)
+    # merge landed, then the job died before commit_round(3). The junk
+    # must carry the crawl's own writer identity — that is what the
+    # rebase walk orphans; an anonymous/foreign writer's commits are
+    # (correctly) carried as concurrent work (see test_concurrency).
+    cat = Catalog(crash_store, writer="crawl")
     junk_results = cat.table("results", "round").read(spark) \
         .limit(5).withColumn("round", F.lit(3))
     cat.table("results", "round").append(junk_results)

@@ -97,9 +97,10 @@ def test_seed_stream_replay_is_idempotent(spark, tmp_path):
 
 def test_ingest_into_fresh_store_survives_run_crawl(spark, tmp_path, fixture_dfs, crawl_cfg):
     """Seeds streamed into a FRESH store must not be discarded when
-    run_crawl starts: the ingest commits its merges as round 0, so
-    run_crawl resumes from it instead of bootstrapping over it — and
-    init_frontier itself now refuses a store with committed rounds."""
+    run_crawl starts: the ingest commits its merges as round 0, and
+    init_frontier MERGES the crawl's seed list on top of it (r5 — the
+    daemon may legally start before the crawl's first round), marking
+    the round-0 entry ``_seeded``; re-seeding AFTER that refuses."""
     import pytest
 
     from hyperion_crawler_spark.plans.loop import run_crawl
@@ -117,13 +118,13 @@ def test_ingest_into_fresh_store_survives_run_crawl(spark, tmp_path, fixture_dfs
     pq.write_table(t, os.path.join(seeds_dir, "b1.parquet"))
     ingest_seed_stream(spark, cat, crawl_cfg, seeds_dir, str(tmp_path / "ckpt"))
 
-    # direct bootstrap on the ingested store must refuse
-    with pytest.raises(ValueError, match="committed rounds"):
-        init_frontier(spark, cat, crawl_cfg, fixture_dfs["seeds"])
-
     run_crawl(spark, store, crawl_cfg, corpus=corpus,
               links=fixture_dfs["links"], robots=fixture_dfs["robots"],
               seeds=fixture_dfs["seeds"], n_rounds=1)
+    # re-seeding a store with committed crawl work must still refuse
+    with pytest.raises(ValueError, match="committed crawl rounds"):
+        init_frontier(spark, Catalog(store, writer="crawl"), crawl_cfg,
+                      fixture_dfs["seeds"])
     cat2 = Catalog(store)
     fr = cat2.table("frontier", "shard").read(spark)
     ar = cat2.table("archive", "shard").read(spark)
