@@ -377,6 +377,21 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
     )
 
 
+def _nearest_code(xb, cents):
+    """Row-wise nearest centroid in squared-L2, GEMM form:
+    argmin_c |x−c|² = argmin_c (|c|² − 2·x·cᵀ) — the |x|² term is
+    constant per row and dropped. One BLAS matmul instead of
+    materializing the (n, k, d) broadcast-subtract tensor (at
+    exact-oracle codebook sizes that tensor is hundreds of MB per
+    block and dominates the encode kernel). Used by BOTH the driver
+    trainer and the executor encode kernels so assignments (incl.
+    first-index tie-breaks on duplicate centroids) agree exactly."""
+    import numpy as np
+
+    d = (cents * cents).sum(axis=1)[None, :] - 2.0 * (xb @ cents.T)
+    return d.argmin(axis=1)
+
+
 def _lloyd_blocks(x, m_blocks: int, k_codes: int, train_iters: int):
     """Per-block Lloyd k-means over a (n, dim) sample matrix: split dims
     into ``m_blocks`` sub-vectors, train ``min(k_codes, n)`` centroids
@@ -394,8 +409,7 @@ def _lloyd_blocks(x, m_blocks: int, k_codes: int, train_iters: int):
         xb = x[:, m * sub:(m + 1) * sub]
         cents = xb[:books.shape[1]].copy()
         for _ in range(train_iters):
-            d2 = ((xb[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
-            assign = d2.argmin(axis=1)
+            assign = _nearest_code(xb, cents)
             for c in range(len(cents)):
                 mask = assign == c
                 if mask.any():
@@ -463,8 +477,7 @@ def pq_encode(corpus: DataFrame, books, id_col: str = "vec_id",
             recon = np.zeros_like(x)
             for m in range(m_blocks):
                 xb = x[:, m * sub:(m + 1) * sub]
-                d2 = ((xb[:, None, :] - cb[m][None, :, :]) ** 2).sum(axis=2)
-                codes[:, m] = d2.argmin(axis=1)
+                codes[:, m] = _nearest_code(xb, cb[m])
                 recon[:, m * sub:(m + 1) * sub] = cb[m][codes[:, m]]
             out = pd.DataFrame({"n_id": pdf["n_id"],
                                 "codes": list(codes),
@@ -658,8 +671,7 @@ def ivfpq_index(corpus: DataFrame, dim: int, n_centroids: int = 16,
             recon = mm[cid].copy()
             for m in range(len(cb)):
                 rb = res[:, m * sub:(m + 1) * sub]
-                d2 = ((rb[:, None, :] - cb[m][None, :, :]) ** 2).sum(axis=2)
-                codes[:, m] = d2.argmin(axis=1)
+                codes[:, m] = _nearest_code(rb, cb[m])
                 recon[:, m * sub:(m + 1) * sub] += cb[m][codes[:, m]]
             yield pd.DataFrame({"n_id": pdf["n_id"],
                                 "cid": cid.astype(np.int32),
