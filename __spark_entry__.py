@@ -1050,9 +1050,9 @@ def _sql_quality_classify(iters: int = 3, lr: str = "1.0") -> str:
                  {_sql_stopword_hits('qtxt', 'en')}
                    / len(string_split(qtxt, ' ')) AS f2,
                  length(regexp_replace(qtxt, '[^.,;:!?]', '', 'g'))
-                   / length(qtxt) AS f3,
+                   / greatest(length(qtxt), 1) AS f3,
                  length(regexp_replace(qtxt, '[^A-Z]', '', 'g'))
-                   / length(qtxt) AS f4,
+                   / greatest(length(qtxt), 1) AS f4,
                  least(length(qtxt) / len(string_split(qtxt, ' ')), 20.0)
                    / 20.0 AS f5"""
 

@@ -62,6 +62,13 @@ def quality_features(text: Column) -> list[Column]:
     the ``quality_metrics`` signals, each a pure Catalyst expression
     with an exact DuckDB mirror (integer counts → double ratios)."""
     n_chars = F.length(text)
+    # greatest(·,1) on the ratio DENOMINATORS only: an empty-string
+    # document must score, not throw — this session runs ANSI mode,
+    # where x/0 is DIVIDE_BY_ZERO, and a crawl corpus legally contains
+    # empty extraction results. The SQL mirror applies the identical
+    # guard (punct/upper counts are 0 for '' anyway, so f3/f4 are
+    # exactly 0.0 on both sides; f5's divisor n_tok is always ≥ 1).
+    n_chars_div = F.greatest(n_chars, F.lit(1))
     n_tok = TX.token_count(text)
     punct = F.length(F.regexp_replace(text, r"[^.,;:!?]", ""))
     upper = F.length(F.regexp_replace(text, r"[^A-Z]", ""))
@@ -69,8 +76,8 @@ def quality_features(text: Column) -> list[Column]:
         F.lit(1.0),
         F.least(n_tok, F.lit(1000)) / 1000.0,
         TX.stopword_hits(text, "en") / n_tok,
-        punct / n_chars,
-        upper / n_chars,
+        punct / n_chars_div,
+        upper / n_chars_div,
         F.least(n_chars / n_tok, F.lit(20.0)) / 20.0,
     ]
 

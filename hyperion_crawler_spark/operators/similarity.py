@@ -601,8 +601,9 @@ def ivfpq_index(corpus: DataFrame, dim: int, n_centroids: int = 16,
     shape, laid out so a scan can prune to probed cells with a plain
     Catalyst ``cid`` filter (the Iceberg partition-by-cluster analog).
 
-    Returns ``(cents, books, encoded)``; feed to ``ivfpq_topk`` via
-    ``index=`` to reuse one index across query batches."""
+    Returns ``(cents, means, books, encoded)`` — ``encoded`` is None
+    for an empty corpus; feed to ``ivfpq_topk`` via ``index=`` to
+    reuse one index across query batches."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
@@ -612,7 +613,8 @@ def ivfpq_index(corpus: DataFrame, dim: int, n_centroids: int = 16,
                           F.xxhash64(F.col(id_col).cast("string")).alias("h"))
             .orderBy("h").limit(sample_cap).collect())
     if not rows:
-        return (np.zeros((1, dim)),
+        z = np.zeros((1, dim))
+        return (z, z.copy(),
                 np.zeros((m_blocks, k_codes, dim // m_blocks)), None)
     x = np.array([r["v"] for r in rows], dtype=np.float64)
 

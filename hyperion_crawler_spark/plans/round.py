@@ -4,8 +4,8 @@ round k: load frontier snapshot → filter eligible (P9) → robots +
 salted per-host top-k (W2) → fetch/validate (mapInPandas over the
 image+caption corpus) → link expansion → canonicalize+hash new URLs
 (F17) → first-wins batch dedup (A4) → Bloom seen probe+update
-(applyInPandas) → MERGE frontier / MERGE seen_filters / append results
-+ lineage → snapshot commit = checkpoint.
+(applyInPandas) → MERGE frontier / append seen_filters delta blobs /
+append results + lineage → snapshot commit = checkpoint.
 
 This replaces the reference's E→T→L HTTP round trip
 (/root/reference/workflows/krx_etl_workflow.yaml:30-189 — the full row
@@ -139,8 +139,8 @@ def init_frontier(spark: SparkSession, cat, cfg: CrawlConfig, seeds: DataFrame) 
     versions = {
         "frontier": frontier_t.merge(spark, rows, ["urlhash"],
                                      base_version=base.get("frontier")),
-        "seen_filters": seen_t.merge(spark, filters, ["shard"],
-                                     base_version=base.get("seen_filters")),
+        "seen_filters": seen_t.append(filters,
+                                      base_version=base.get("seen_filters", 0)),
         "_seeded": 1,
     }
     if cfg.exact_seen_shadow:
@@ -333,8 +333,12 @@ def run_round(spark: SparkSession, cat, cfg: CrawlConfig, round_idx: int,
             archive_rows, base_version=base.get("archive", 0))
 
     def _commit_seen():
-        return seen_t.merge(spark, new_filters, ["shard"],
-                            base_version=base.get("seen_filters"))
+        # append-only delta blobs (state/seen.py r5): commutes with a
+        # concurrent ingest batch's append at the file level, so no
+        # writer's bloom bits can be lost to a row-level last-writer-
+        # wins replacement
+        return seen_t.append(new_filters,
+                             base_version=base.get("seen_filters", 0))
 
     def _commit_seen_exact():
         return seen_exact_t.append(

@@ -262,7 +262,7 @@ class SnapshotTable:
             logged = self.log_lookup()
         files = {f["path"]: f for f in base_files}
         try:
-            prev = self._live_files(base)
+            prev = base_files
             for v in range(base + 1, head_ver + 1):
                 m = self._manifest(v)
                 cur = m["files"]
@@ -1002,37 +1002,40 @@ class Catalog:
         return max(rounds) if rounds else None
 
     @contextlib.contextmanager
-    def _round_lock(self, timeout: float = 30.0):
-        """Short advisory lock serializing round-log read-modify-write
-        cycles between co-located writers (crawl loop + ingest daemon
-        share the driver host — the deployment the daemon documents).
-        Exclusive-create a lockfile; stale locks (holder died) are
-        broken after 60 s."""
+    def _round_lock(self, timeout: float = 120.0):
+        """Advisory lock serializing round-log read-modify-write cycles
+        between co-located writers (crawl loop + ingest daemon share
+        the driver host — the deployment the daemon documents).
+        ``flock`` on a PERSISTENT lockfile: the kernel drops the lock
+        when the holder's fd closes — including ``kill -9`` — so there
+        is no stale-lock heuristic at all. (The unlink/recreate
+        protocol this replaces could time out waiters before its own
+        60 s staleness threshold was reachable, and two breakers
+        passing the staleness check together could each unlink the
+        other's freshly-created lock.) The file is never unlinked on
+        release: unlinking would let a late waiter lock the old inode
+        while a new waiter creates-and-locks a fresh file. Multi-host
+        catalogs need a shared lock service (the Iceberg catalog
+        commit analog) — out of scope for this store."""
+        import fcntl
+
         lock = os.path.join(self.root, "rounds.lock")
+        fd = os.open(lock, os.O_CREAT | os.O_RDWR)
         t0 = time.monotonic()
-        while True:
-            try:
-                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                break
-            except FileExistsError:
-                try:
-                    if time.time() - os.path.getmtime(lock) > 60:
-                        os.unlink(lock)  # stale: holder is gone
-                        continue
-                except OSError:
-                    pass  # raced with the holder's release
-                if time.monotonic() - t0 > timeout:
-                    raise TimeoutError(f"round-log lock held: {lock}")
-                time.sleep(0.01)
         try:
+            while True:
+                try:
+                    fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                    break
+                except OSError:
+                    if time.monotonic() - t0 > timeout:
+                        raise TimeoutError(f"round-log lock held: {lock}")
+                    time.sleep(0.01)
+            os.ftruncate(fd, 0)
             os.write(fd, str(os.getpid()).encode())
-            os.close(fd)
             yield
         finally:
-            try:
-                os.unlink(lock)
-            except OSError:
-                pass
+            os.close(fd)  # releases the flock
 
     def commit_round(self, round_idx: int, table_versions: dict[str, int],
                      fold: bool = False) -> None:
@@ -1081,7 +1084,7 @@ class Catalog:
             if rounds0:
                 last = max(rounds0)
                 base = self.base_versions()
-                updated = dict(rounds0[last])
+                changed: dict[str, int] = {}
                 for name in sorted(os.listdir(self.root)):
                     if not os.path.isdir(os.path.join(self.root, name, "snapshots")):
                         continue
@@ -1090,9 +1093,14 @@ class Catalog:
                         spark, rewrite_small_bytes,
                         base_version=base.get(name))
                     if nv is not None:
-                        updated[name] = nv
-                if updated != rounds0[last]:
-                    self.commit_round(last, updated)
+                        changed[name] = nv
+                if changed:
+                    # fold ONLY the rewritten tables, under the round
+                    # lock: the rewrite jobs run for seconds, and a
+                    # replace-form commit built from the pre-rewrite
+                    # snapshot of the entry would clobber any daemon
+                    # fold that landed in that window
+                    self.commit_round(last, changed, fold=True)
         rounds = self.completed_rounds()
         kept_rounds = set(sorted(rounds)[-keep_rounds:]) if rounds else set()
         retain: dict[str, set[int]] = {}

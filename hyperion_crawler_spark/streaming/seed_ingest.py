@@ -80,8 +80,8 @@ def _make_batch(spark: SparkSession, cat, cfg: CrawlConfig):
             versions = {}
             versions["frontier"] = frontier_t.merge(
                 spark, rows, ["urlhash"], base_version=base.get("frontier"))
-            versions["seen_filters"] = seen_t.merge(
-                spark, filters, ["shard"], base_version=base.get("seen_filters"))
+            versions["seen_filters"] = seen_t.append(
+                filters, base_version=base.get("seen_filters", 0))
             if cfg.exact_seen_shadow:
                 versions["seen_exact"] = seen_exact_t.append(
                     unseen.select("urlhash", "shard"),

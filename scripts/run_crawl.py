@@ -116,7 +116,15 @@ def main() -> None:
         print(json.dumps({"event": "resume_noop", "last_round": args.rounds}))
     if args.gc_keep_rounds:
         from hyperion_crawler_spark.sources.tables import Catalog
+        from hyperion_crawler_spark.state.seen import fold_filters
 
+        cat_gc = Catalog(args.store, writer="maintenance")
+        seen_fold_v = fold_filters(spark, cat_gc.table("seen_filters", "shard"))
+        if seen_fold_v is not None:
+            # fold back to one blob per shard and fold the version into
+            # the round log so resumes bind to the compacted snapshot
+            cat_gc.commit_round(cat_gc.last_round() or 0,
+                                {"seen_filters": seen_fold_v}, fold=True)
         stats = Catalog(args.store).expire(
             keep_rounds=args.gc_keep_rounds,
             spark=spark if args.rewrite_small_mb else None,

@@ -39,7 +39,7 @@ def test_no_false_negatives_and_exact_parity(spark, crawl_cfg):
     filters.unpersist()
 
 
-def test_untouched_shard_not_rewritten_but_survives_merge(spark, crawl_cfg, tmp_path):
+def test_untouched_shard_not_rewritten_but_survives_append(spark, crawl_cfg, tmp_path):
     from hyperion_crawler_spark.sources.tables import Catalog
 
     empty = spark.createDataFrame([], "shard int, filter_bytes binary, n_items long")
@@ -47,21 +47,60 @@ def test_untouched_shard_not_rewritten_but_survives_merge(spark, crawl_cfg, tmp_
     # round A: keys only in shard 0
     keys0 = [h for h in range(2000) if h % crawl_cfg.n_shards == 0][:50]
     _, f1, _c4 = probe_and_update(_cands(spark, keys0, crawl_cfg), empty, crawl_cfg)
-    seen_t.merge(spark, f1, ["shard"])
+    seen_t.append(f1)
     blob0 = {r["shard"]: (bytes(r["filter_bytes"]), r["n_items"])
              for r in seen_t.read(spark).collect()}
-    # round B: keys only in shard 1 — the probe must NOT emit a carry
-    # row for shard 0 (no rewrite), yet the merged table keeps its blob
+    # round B: keys only in shard 1 — the probe must NOT emit a delta
+    # row for shard 0 (no rewrite), yet the stored blob survives
     keys1 = [h for h in range(2000) if h % crawl_cfg.n_shards == 1][:50]
     current = seen_t.read(spark)
     _, f2, _c5 = probe_and_update(_cands(spark, keys1, crawl_cfg), current, crawl_cfg)
     emitted = {r["shard"] for r in f2.collect()}
     assert emitted == {1}, "untouched shards must not be re-emitted"
-    seen_t.merge(spark, f2, ["shard"])
+    seen_t.append(f2)
     blobs2 = {r["shard"]: (bytes(r["filter_bytes"]), r["n_items"])
               for r in seen_t.read(spark).collect()}
     assert blobs2[0] == blob0[0]
     assert blobs2[1][1] == 50
+
+
+def test_concurrent_shard_deltas_both_survive_and_fold(spark, crawl_cfg, tmp_path):
+    """The row-level lost-update the delta representation closes: two
+    writers add DIFFERENT urls to the SAME shard from the same base —
+    with replacement-row semantics the second commit dropped the
+    first's bits; append-only deltas commute. fold_filters then
+    OR-compacts to one row per shard with membership preserved."""
+    from hyperion_crawler_spark.sources.tables import Catalog
+    from hyperion_crawler_spark.state.seen import fold_filters
+
+    empty = spark.createDataFrame([], "shard int, filter_bytes binary, n_items long")
+    # two DISTINCT writer identities (crawl + ingest daemon): a second
+    # same-writer unlogged commit is a crashed attempt and is orphaned
+    # by design — the concurrency story is cross-writer
+    seen_t = Catalog(str(tmp_path), writer="crawl").table("seen_filters", "shard")
+    seen_t2 = Catalog(str(tmp_path), writer="seed_ingest").table("seen_filters", "shard")
+    s = crawl_cfg.n_shards
+    a_keys = [0 * s + i * s for i in range(1, 30)]        # all shard 0
+    b_keys = [i * s for i in range(100, 130)]             # all shard 0, disjoint
+    _, fa, _ca = probe_and_update(_cands(spark, a_keys, crawl_cfg), empty, crawl_cfg)
+    _, fb, _cb = probe_and_update(_cands(spark, b_keys, crawl_cfg), empty, crawl_cfg)
+    # both writers computed against the same (empty) base, then commit
+    seen_t.append(fa, base_version=0)
+    seen_t2.append(fb, base_version=0)
+
+    state = seen_t.read(spark)
+    assert state.count() == 2  # two delta rows for shard 0
+    both = sorted(set(a_keys) | set(b_keys))
+    again, _, _c2 = probe_and_update(_cands(spark, both, crawl_cfg), state, crawl_cfg)
+    assert again.count() == 0, "a writer's bits were lost"
+
+    v = fold_filters(spark, seen_t)
+    assert v is not None
+    folded = seen_t.read(spark).collect()
+    assert len(folded) == 1 and folded[0]["n_items"] == len(both)
+    again2, _, _c3 = probe_and_update(
+        _cands(spark, both, crawl_cfg), seen_t.read(spark), crawl_cfg)
+    assert again2.count() == 0, "fold dropped membership"
 
 
 def test_within_batch_duplicates_survive_probe(spark, crawl_cfg):
