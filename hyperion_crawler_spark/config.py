@@ -47,6 +47,14 @@ class CrawlConfig:
                                        # the round checkpoint, so resume stays
                                        # bit-identical)
     rescore_weight: float = 0.5        # blend: (1-w)·priority + w·pagerank
+    fold_seen_every: int = 16          # every N rounds, OR-compact the
+                                       # append-only seen_filters deltas to
+                                       # one blob per shard (0 = off, CLI GC
+                                       # still folds). Bounds the probe's
+                                       # read cost: between folds a probe
+                                       # reads ≤ N delta rows per shard.
+                                       # Committed inside the round
+                                       # checkpoint — resume stays exact
     # crawler-trap guards (0 = disabled; defaults off so crawl-order
     # parity with the trap-unaware reference run is preserved unless
     # opted in). Tripped URLs leave the frontier as status='excluded'

@@ -414,6 +414,18 @@ def run_round(spark: SparkSession, cat, cfg: CrawlConfig, round_idx: int,
             for h in pinned:  # merge() materialized the blend
                 h.unpersist()
         t = _mark("rescore_priority", t)
+    if cfg.fold_seen_every and round_idx % cfg.fold_seen_every == 0:
+        # OR-compact the append-only seen deltas back to one blob per
+        # shard (state/seen.py) so the probe's read stays O(shards).
+        # Committed inside THIS round's checkpoint: a crash before
+        # commit_round orphans the folded snapshot and the redo
+        # reproduces it (fold of the same deltas is deterministic).
+        from ..state.seen import fold_filters
+
+        fv = fold_filters(spark, seen_t)
+        if fv is not None:
+            versions["seen_filters"] = fv
+        t = _mark("fold_seen", t)
     # task-log timing (reference CrawlerTaskLog start/end/execution_time,
     # api/src/models/task_log.py:21-23): round wall time + the per-phase
     # seconds measured so far, stamped into the lineage row at append

@@ -52,6 +52,10 @@ def main() -> None:
     ap.add_argument("--rescore-every", type=int, default=0,
                     help="every N rounds, re-score frontier priority with "
                          "link-graph PageRank (checkpointed inside the round)")
+    ap.add_argument("--fold-seen-every", type=int, default=16,
+                    help="every N rounds, OR-compact the append-only seen "
+                         "Bloom deltas to one blob per shard (0 = only the "
+                         "GC pass folds)")
     ap.add_argument("--trap-max-depth", type=int, default=0,
                     help="exclude URLs with more than N path segments (0 = off)")
     ap.add_argument("--trap-max-params", type=int, default=0,
@@ -63,6 +67,7 @@ def main() -> None:
 
     spark = get_spark(app="hyperion-crawl", master=args.master)
     cfg = CrawlConfig(n_shards=args.shards, rescore_every=args.rescore_every,
+                      fold_seen_every=args.fold_seen_every,
                       max_url_depth=args.trap_max_depth,
                       max_query_params=args.trap_max_params,
                       max_segment_repeat=args.trap_max_repeat)

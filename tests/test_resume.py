@@ -84,3 +84,31 @@ def test_mid_round_crash_redo_is_exact(spark, fixture_dfs, crawl_cfg, tmp_path_f
     resumed = run_crawl(spark, crash_store, crawl_cfg, n_rounds=3, **kw)
     assert [m["round"] for m in resumed] == [3]
     assert _state(spark, crash_store) == _state(spark, full_store)
+
+
+def test_resume_with_seen_folding(spark, fixture_dfs, crawl_cfg, tmp_path_factory):
+    """In-crawl seen-state folding (cfg.fold_seen_every) keeps resumes
+    bit-identical: the fold is part of the round checkpoint, so a full
+    run and a stop/resume run fold the same deltas at the same rounds
+    and land on identical folded rows. Also pins that the fold actually
+    compacts: after the round-4 fold, each shard holds exactly ONE
+    blob row."""
+    import dataclasses
+
+    cfg = dataclasses.replace(crawl_cfg, fold_seen_every=2)
+    kw = dict(corpus=fixture_dfs["corpus"], links=fixture_dfs["links"],
+              robots=fixture_dfs["robots"], seeds=fixture_dfs["seeds"])
+
+    full_store = str(tmp_path_factory.mktemp("fold_full"))
+    run_crawl(spark, full_store, cfg, n_rounds=4, **kw)
+
+    part_store = str(tmp_path_factory.mktemp("fold_part"))
+    run_crawl(spark, part_store, cfg, n_rounds=4, stop_after_round=3, **kw)
+    resumed = run_crawl(spark, part_store, cfg, n_rounds=4, **kw)
+    assert [m["round"] for m in resumed] == [4]
+    assert _state(spark, part_store) == _state(spark, full_store)
+
+    cat = Catalog(full_store)
+    rows = cat.table("seen_filters", "shard").read(spark).collect()
+    shards = [r["shard"] for r in rows]
+    assert len(shards) == len(set(shards)), "fold left >1 row per shard"
