@@ -270,11 +270,10 @@ def run_round(spark: SparkSession, cat, cfg: CrawlConfig, round_idx: int,
 
     # --- metrics: ONE scan of the results cache produces BOTH the
     # per-partition lineage rows (collected — bounded by partition
-    # count) and, summed driver-side, the round totals; a second small
-    # job covers the discovery-side counts and materializes the
-    # remaining caches so the parallel commits below never race to
-    # evaluate them. (Replaces the earlier global agg + separate
-    # lineage agg — one fewer scan of the biggest cached frame.)
+    # count) and, summed driver-side, the round totals. This is the
+    # action that materializes the fetch/validate cache, so it runs
+    # alone; the discovery-side counts live in the commit phase below,
+    # overlapped with the results commit.
     t = _mark("plan_build", t)
     lin_rows = (
         results.groupBy(F.spark_partition_id().alias("partition_id"))
@@ -287,17 +286,7 @@ def run_round(spark: SparkSession, cat, cfg: CrawlConfig, round_idx: int,
     n_sched = sum(r["urls_scheduled"] for r in lin_rows)
     n_fetched = sum(r["fetched"] for r in lin_rows)
     n_failed = sum(r["failed"] for r in lin_rows)
-    mrow = (cand.agg(F.count("*").alias("n_cand"))
-            .crossJoin(unseen.agg(F.count("*").alias("n_unseen")))
-            .crossJoin(archive_rows.agg(F.count("*").alias("n_arch"))).first())
-    n_cand, n_unseen = mrow["n_cand"], mrow["n_unseen"]
     t = _mark("compute_metrics", t)
-    lineage = spark.createDataFrame(
-        [(round_idx, r["partition_id"], "success", r["urls_scheduled"],
-          r["fetched"], r["failed"], int(n_cand - n_unseen))
-         for r in lin_rows],
-        "round int, partition_id int, status string, urls_scheduled long, "
-        "fetched long, failed long, deduped long")
 
     # --- commits (snapshot per table; round commit = checkpoint) ----
     # Independent tables commit IN PARALLEL: every input cache is
@@ -345,15 +334,32 @@ def run_round(spark: SparkSession, cat, cfg: CrawlConfig, round_idx: int,
             unseen.select("urlhash", "shard"),
             base_version=base.get("seen_exact", 0))
 
-    jobs = {"results": _commit_results, "frontier": _commit_frontier,
+    jobs = {"frontier": _commit_frontier,
             "archive": _commit_archive, "seen_filters": _commit_seen}
     if cfg.exact_seen_shadow:
         jobs["seen_exact"] = _commit_seen_exact
-    with ThreadPoolExecutor(max_workers=len(jobs)) as pool:
+    with ThreadPoolExecutor(max_workers=1 + len(jobs)) as pool:
+        # the results commit only scans the results cache (materialized
+        # by lin_rows above), so it runs IN PARALLEL with the discovery-
+        # side aggregate that materializes every cache the remaining
+        # commits read (cand, probe/unseen, res_updates via
+        # archive_rows) — the commit hides under the probe's shadow
+        fut_results = pool.submit(_commit_results)
+        mrow = (cand.agg(F.count("*").alias("n_cand"))
+                .crossJoin(unseen.agg(F.count("*").alias("n_unseen")))
+                .crossJoin(archive_rows.agg(F.count("*").alias("n_arch"))).first())
+        n_cand, n_unseen = mrow["n_cand"], mrow["n_unseen"]
         futs = {name: pool.submit(fn) for name, fn in jobs.items()}
+        versions["results"] = fut_results.result()
         for name, fut in futs.items():
             versions[name] = fut.result()
     t = _mark("commit_tables", t)
+    lineage = spark.createDataFrame(
+        [(round_idx, r["partition_id"], "success", r["urls_scheduled"],
+          r["fetched"], r["failed"], int(n_cand - n_unseen))
+         for r in lin_rows],
+        "round int, partition_id int, status string, urls_scheduled long, "
+        "fetched long, failed long, deduped long")
     if cfg.rescore_every:
         # Incremental fetched-source set (seen-filter pattern): each
         # round APPENDS its fetched URLs (a URL is fetched in exactly
