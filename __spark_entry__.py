@@ -247,11 +247,21 @@ def q21_embedding_near_dup(spark, sf):
 
 def q22_text_quality(spark, sf):
     # fp (r5): absorbed the former q24_fingerprint — the per-document
-    # fingerprint value-checks here without the redundant groupBy query
+    # fingerprint value-checks here without the redundant groupBy query.
+    # r5 widening: Gopher-style repetition signals
+    # (operators/quality.repetition_profile — top-bigram coverage +
+    # duplicate-bigram fraction) ride the same driver window slot.
+    from hyperion_crawler_spark.operators.quality import repetition_profile
+
     d = _t(spark, sf, "documents")
-    return d.select("doc_id", *TX.quality_metrics(F.col("text")),
+    rep = repetition_profile(d, "doc_id", "text", n=2)
+    base = d.select("doc_id", *TX.quality_metrics(F.col("text")),
                     TX.quality_score(F.col("text")).alias("quality"),
                     TX.fingerprint(F.col("text")).alias("fp"))
+    return base.join(rep, "doc_id").select(
+        base["*"], "top_gram",
+        F.round("top_gram_frac", 6).alias("top_gram_frac"),
+        F.round("dup_gram_frac", 6).alias("dup_gram_frac"))
 
 
 def q23_lang_id(spark, sf):
@@ -311,16 +321,6 @@ def q27_scalar_maps(spark, sf):
                .groupBy("k").agg(F.count("*").alias("n"))
                .select(F.lit("rating").alias("kind"), "k", "n"))
     return sym_counts.unionByName(ratings)
-
-
-def q29_distinct_counts(spark, sf):
-    """A5 distinct aggregation + F12/F13 deterministic task-id stamp."""
-    li = _t(spark, sf, "lineitem")
-    return (li.groupBy("l_returnflag")
-              .agg(F.countDistinct("l_partkey").alias("n_parts"),
-                   F.countDistinct("l_orderkey", "l_linenumber").alias("n_lines"))
-              .withColumn("task_id", F.concat_ws("_", F.lit("market"), F.lit("daily"),
-                                                 F.col("l_returnflag"))))
 
 
 def q30_politeness_schedule(spark, sf):
@@ -590,7 +590,12 @@ def q47_asof_join(spark, sf):
 
 def q48_grouping_sets(spark, sf):
     """OLAP GROUPING SETS with grouping flags (subtotal + grand-total
-    rows distinguished from genuine NULL groups)."""
+    rows distinguished from genuine NULL groups). r5: absorbed
+    q29_distinct_counts — the A5 distinct aggregates (single- and
+    multi-column count DISTINCT) and the F12/F13 deterministic task-id
+    stamp now ride the same grouping-sets pass (concat_ws skips NULL
+    group keys identically in both engines, so subtotal rows stamp
+    'market_daily')."""
     _t(spark, sf, "lineitem").createOrReplaceTempView("li_gs")
     return spark.sql("""
         SELECT l_returnflag, l_linestatus,
@@ -601,7 +606,10 @@ def q48_grouping_sets(spark, sf):
                -- literals as DECIMAL and the whole expression (and its
                -- arrow dtype) would go decimal; scientific notation is
                -- DOUBLE in both engines
-               floor(sum(l_quantity) * 1e2 + 0.5) / 1e2 AS sum_qty
+               floor(sum(l_quantity) * 1e2 + 0.5) / 1e2 AS sum_qty,
+               count(DISTINCT l_partkey) AS n_parts,
+               count(DISTINCT l_orderkey, l_linenumber) AS n_lines,
+               concat_ws('_', 'market', 'daily', l_returnflag) AS task_id
         FROM li_gs
         GROUP BY l_returnflag, l_linestatus
           GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
@@ -886,15 +894,33 @@ def q59_quality_classify(spark, sf):
         "q_keep")
 
 
+def q60_simhash_dup_pairs(spark, sf):
+    """SimHash near-dup PAIRING (dedup.hamming_pairs): Manku-style
+    block candidate generation — 5 near-equal blocks for max_dist=4,
+    so by pigeonhole every pair within distance 4 agrees exactly on
+    ≥1 block and is found by the (block_idx, block_value) equi-join —
+    plus exact popcount verify. The oracle brute-forces the O(n²) scan
+    with bit_count(xor(...)), so a value match proves the blocked
+    candidate generation loses no pair. The same operator serves pHash
+    image near-dup (tests/test_multimodal.py)."""
+    from hyperion_crawler_spark.operators.dedup import hamming_pairs, simhash_df
+
+    d = _t(spark, sf, "documents")
+    sims = simhash_df(d, "doc_id", "text")
+    return hamming_pairs(sims, "doc_id", "simhash", max_dist=4) \
+        .select("id1", "id2", F.col("dist").cast("int").alias("dist"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # EXACTLY 50 entries — the driver's correctness window is 50
         # rows (CORRECTNESS_r03/_r04 both truncate there), so the
         # round-4 surface (q49-q57b) and the round-5 additions
-        # (q58/q59) fit only because redundant legacy queries were
+        # (q58/q59/q60) fit only because redundant legacy queries were
         # consolidated in r5 (q02+q03, q07+q32+q33+q34, q11+q12,
         # q17→q18, q23+q23b, q24→q22, q26→q48, q27+q28, q09→q31,
-        # q37→q38) with every operator family still oracle-covered.
+        # q37→q38, q29→q48) with every operator family still
+        # oracle-covered.
         "q01_first_wins_dedup": q01_first_wins_dedup,
         "q02_latest_topk": q02_latest_topk,
         "q04_consensus_histogram": q04_consensus_histogram,
@@ -915,7 +941,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q23_lang_id": q23_lang_id,
         "q25_set_ops": q25_set_ops,
         "q27_scalar_maps": q27_scalar_maps,
-        "q29_distinct_counts": q29_distinct_counts,
         "q30_politeness_schedule": q30_politeness_schedule,
         "q31_merge_with_delete": q31_merge_with_delete,
         "q32_filing_scalars": q32_filing_scalars,
@@ -945,6 +970,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q57b_pq_exact": q57b_pq_exact,
         "q58_ivfpq": q58_ivfpq,
         "q59_quality_classify": q59_quality_classify,
+        "q60_simhash_dup_pairs": q60_simhash_dup_pairs,
     }
 
 
@@ -1322,8 +1348,30 @@ def oracle_sql() -> dict[str, str]:
                        (CASE WHEN {ntok} BETWEEN 20 AND 1000 THEN 0.5 ELSE 0.0 END)
                        + round({sw['en']} / {ntok}, 6) * 2.0
                        - {punct} / length(text)), 6) AS quality,
-                   sha256(substr(lower(regexp_replace(text, '\\s+', ' ', 'g')), 1, 64)) AS fp
+                   sha256(substr(lower(regexp_replace(text, '\\s+', ' ', 'g')), 1, 64)) AS fp,
+                   p.top_gram,
+                   round(coalesce((p.top_c * length(p.top_gram)) / p.nc, 0.0), 6) AS top_gram_frac,
+                   round(coalesce(CAST(p.dup AS DOUBLE) / CAST(p.tot AS DOUBLE), 0.0), 6) AS dup_gram_frac
             FROM documents
+            LEFT JOIN (
+              WITH tok AS (
+                SELECT doc_id, length(text) AS nc,
+                       string_split(text, ' ') AS ts
+                FROM documents),
+              occ AS (
+                SELECT doc_id, nc,
+                       array_to_string(ts[i:i+1], ' ') AS gram
+                FROM tok, unnest(generate_series(1, len(ts) - 1)) AS u(i)),
+              counts AS (
+                SELECT doc_id, nc, gram, count(*) AS c
+                FROM occ GROUP BY doc_id, nc, gram)
+              SELECT doc_id,
+                     first(gram ORDER BY c DESC, gram DESC) AS top_gram,
+                     first(c ORDER BY c DESC, gram DESC) AS top_c,
+                     max(nc) AS nc, sum(c) AS tot,
+                     sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup
+              FROM counts GROUP BY doc_id
+            ) p USING (doc_id)
         """,
         "q23_lang_id": f"""
             WITH base AS (
@@ -1447,13 +1495,6 @@ def oracle_sql() -> dict[str, str]:
                      replace(replace(lower(event_type), ' ', '_'), '-', '_')) AS k
                   FROM events)
             GROUP BY k
-        """,
-        "q29_distinct_counts": """
-            SELECT l_returnflag,
-                   count(DISTINCT l_partkey) AS n_parts,
-                   count(DISTINCT (l_orderkey, l_linenumber)) AS n_lines,
-                   concat_ws('_', 'market', 'daily', l_returnflag) AS task_id
-            FROM lineitem GROUP BY l_returnflag
         """,
         "q30_politeness_schedule": """
             WITH frontier AS (
@@ -1603,6 +1644,25 @@ def oracle_sql() -> dict[str, str]:
         # weights BIT-IDENTICAL to the Spark DataFrame job's, so the
         # final scores value-hash across engines
         "q59_quality_classify": _sql_quality_classify(),
+        "q60_simhash_dup_pairs": f"""
+            WITH tok AS (
+              SELECT doc_id, {_H60.format(x='t')} AS h
+              FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+                    FROM documents)),
+            sums AS (
+              SELECT doc_id,
+                     {', '.join(f"CAST(sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS s{j}" for j in range(64))}
+              FROM tok GROUP BY doc_id),
+            sims AS (
+              SELECT doc_id,
+                     CAST({' + '.join(f"(CASE WHEN s{j} > 0 THEN 1 ELSE 0 END) * CAST({1 << j} AS BIGINT)" for j in range(63))}
+                     + (CASE WHEN s63 > 0 THEN (-9223372036854775807 - 1) ELSE 0 END) AS BIGINT) AS simhash
+              FROM sums)
+            SELECT a.doc_id AS id1, b.doc_id AS id2,
+                   CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS dist
+            FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 4
+        """,
         "q38_winnowing_pairs": f"""
             WITH {_winnow_pairs_cte}
             SELECT id1, id2, n_shared FROM pairs WHERE n_shared >= 2
@@ -1709,7 +1769,10 @@ def oracle_sql() -> dict[str, str]:
                    CAST(grouping(l_returnflag) AS INTEGER) AS g_rf,
                    CAST(grouping(l_linestatus) AS INTEGER) AS g_ls,
                    CAST(count(*) AS BIGINT) AS n,
-                   floor(sum(l_quantity) * 100.0 + 0.5) / 100.0 AS sum_qty
+                   floor(sum(l_quantity) * 100.0 + 0.5) / 100.0 AS sum_qty,
+                   CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+                   CAST(count(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT) AS n_lines,
+                   concat_ws('_', 'market', 'daily', l_returnflag) AS task_id
             FROM lineitem
             GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
                                     (l_returnflag), ())

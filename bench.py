@@ -54,6 +54,7 @@ BENCH_QUERIES = [
     # round-5 operator surface
     "q58_ivfpq",
     "q59_quality_classify",
+    "q60_simhash_dup_pairs",
 ]
 
 CRAWL_BENCH_URLS = int(os.environ.get("BENCH_CRAWL_URLS", 2_000_000))

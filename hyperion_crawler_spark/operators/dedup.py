@@ -353,6 +353,72 @@ def simhash_df(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return sums.select("doc_id", packed.alias("simhash"))
 
 
+def hamming_pairs(df: DataFrame, id_col: str, hash_col: str,
+                  max_dist: int = 3, blocks: int | None = None,
+                  handles: list | None = None) -> DataFrame:
+    """All unordered pairs of rows whose 64-bit hashes differ in at
+    most ``max_dist`` bits — the near-dup pairing step for SimHash
+    (text) and pHash (images; both are 64-bit longs, so one operator
+    serves both modalities).
+
+    Candidate generation is the Manku/Jain/Das Sarma block-permutation
+    scheme (WWW'07 'Detecting Near-Duplicates for Web Crawling'): split
+    the hash into ``blocks`` contiguous blocks (default max_dist+1);
+    by pigeonhole, any pair within Hamming distance ``max_dist`` agrees
+    EXACTLY on at least one block, so candidates come from equi-joins
+    on (block_idx, block_value) — never an all-pairs product. Exact
+    popcount on XOR verifies candidates, so the result equals brute
+    force (the DuckDB oracle cross-checks exactly that).
+
+    Scale shape: explode is b rows/doc (b ≤ 9); the self-join shuffles
+    on (block_idx, block_value), so work ∝ bucket collisions, exactly
+    like minhash_lsh_pairs above. Hash skew caveat: a block value
+    shared by m docs contributes m² candidate rows — for near-constant
+    hash populations (e.g. single-color images sharing one pHash)
+    pre-aggregate identical hashes to one representative first
+    (exact_dedup on the hash) and reattach members after.
+
+    Returns (id1, id2, dist) with id1 < id2, one row per pair.
+    """
+    b = blocks or (max_dist + 1)
+    if not 1 <= b <= 64:
+        raise ValueError(f"blocks must be in [1, 64], got {b}")
+    # split 64 bits into b near-equal blocks (widths differ by ≤1)
+    widths = [(64 // b) + (1 if i < 64 % b else 0) for i in range(b)]
+    offs = [sum(widths[:i]) for i in range(b)]
+    h = F.col(hash_col)
+    # persisted before the self-join: the hash is usually an expensive
+    # upstream computation (simhash's 64 conditional sums, pHash's
+    # image decode) and the self-join would re-derive it per side —
+    # same CSE hazard and same ``handles`` release contract as
+    # minhash_lsh_pairs/winnowing_pairs above
+    hashed = df.filter(h.isNotNull()).select(
+        F.col(id_col).alias("_id"), h.alias("_h")).persist()
+    if handles is not None:
+        handles.append(hashed)
+    parts = hashed.select(
+        "_id", F.col("_h"),
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(i).alias("bi"),
+                F.shiftrightunsigned(F.col("_h"), offs[i])
+                 .bitwiseAND(F.lit((1 << widths[i]) - 1)).alias("bv"))
+            for i in range(b)
+        ])).alias("_blk"),
+    ).select("_id", "_h", "_blk.bi", "_blk.bv")
+    a, c = parts.alias("a"), parts.alias("c")
+    cand = (a.join(c, (F.col("a.bi") == F.col("c.bi"))
+                      & (F.col("a.bv") == F.col("c.bv"))
+                      & (F.col("a._id") < F.col("c._id")))
+             .select(F.col("a._id").alias("id1"), F.col("a._h").alias("h1"),
+                     F.col("c._id").alias("id2"), F.col("c._h").alias("h2"))
+             .distinct())  # a pair may agree on several blocks
+    return (cand.select(
+                "id1", "id2",
+                F.bit_count(F.col("h1").bitwiseXOR(F.col("h2"))).alias("dist"))
+            .filter(F.col("dist") <= max_dist))
+
+
 # ------------------------------------------------------ decontamination
 def decontaminate(corpus: DataFrame, benchmark: DataFrame,
                   id_col: str, text_col: str, n: int = 8,

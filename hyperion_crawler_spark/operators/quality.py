@@ -162,3 +162,56 @@ def predict_lr(weights: list[float], feats: list[float]) -> float:
     """Driver-side scalar mirror of the logistic scorer (tests)."""
     z = sum(w * f for w, f in zip(weights, feats))
     return 1.0 / (1.0 + math.exp(-z))
+
+
+def repetition_profile(df: DataFrame, id_col: str, text_col: str,
+                       n: int = 2) -> DataFrame:
+    """Gopher-style intra-document repetition signals (Rae et al. 2021,
+    'Scaling Language Models', §A1.1 repetition filters): per document,
+    the single most frequent word ``n``-gram, the character fraction
+    its occurrences cover, and the fraction of n-gram occurrences that
+    are repeats — the boilerplate/template-page signals a pretraining
+    quality filter thresholds on.
+
+    Definitions (the operator contract, mirrored by the q22 oracle):
+
+    * ``top_gram``      — the n-gram with the highest occurrence count;
+      ties break to the lexicographically GREATEST gram (max over a
+      (count, gram) struct — deterministic on any partitioning).
+    * ``top_gram_frac`` — top count × length(top_gram) / length(text)
+      (occurrence-coverage approximation; overlaps not collapsed).
+    * ``dup_gram_frac`` — Σ count[count>1] / Σ count.
+
+    Documents with fewer than ``n`` tokens have no n-grams: they keep a
+    row with NULL top_gram and 0.0 fractions (LEFT join back to the id
+    set), so the operator is total over the corpus.
+
+    Scale shape: explode to one row per n-gram OCCURRENCE (≈ tokens per
+    doc), then two map-side-combinable hash aggregates keyed on
+    (doc_id, gram) and doc_id — the decontaminate/token-freq shuffle
+    shape; document text itself never shuffles. No window functions,
+    no driver state."""
+    toks = F.split(F.col(text_col), " ")
+    last = F.size(toks) - (n - 1)
+    grams = F.when(last >= 1, F.transform(
+        F.sequence(F.lit(1), last),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )).otherwise(F.array().cast("array<string>"))
+    occ = df.select(F.col(id_col).alias("_id"),
+                    F.length(F.col(text_col)).alias("_nc"),
+                    F.explode(grams).alias("_gram"))
+    counts = occ.groupBy("_id", "_nc", "_gram").agg(F.count("*").alias("_cnt"))
+    prof = counts.groupBy("_id").agg(
+        F.max(F.struct(F.col("_cnt").alias("c"), F.col("_gram").alias("g"))).alias("_top"),
+        F.max("_nc").alias("_nc"),
+        F.sum("_cnt").alias("_tot"),
+        F.sum(F.when(F.col("_cnt") > 1, F.col("_cnt")).otherwise(F.lit(0))).alias("_dup"))
+    out = (df.select(F.col(id_col).alias("_id"))
+           .join(prof, "_id", "left")
+           .select(
+               F.col("_id").alias(id_col),
+               F.col("_top.g").alias("top_gram"),
+               F.coalesce((F.col("_top.c") * F.length("_top.g"))
+                          / F.col("_nc"), F.lit(0.0)).alias("top_gram_frac"),
+               F.coalesce(F.col("_dup") / F.col("_tot"), F.lit(0.0)).alias("dup_gram_frac")))
+    return out

@@ -486,3 +486,63 @@ def test_scrub_repeated_windows_catches_offgrid_repeat(spark):
     assert out[2]["n_scrubbed"] == 0
     assert out[3]["text_clean"] == "r" and out[3]["n_scrubbed"] == 14
     assert out[4]["n_scrubbed"] == 0         # repeats shorter than w survive
+
+
+# ----------------------------------------------------- hamming_pairs
+def _brute_hamming(ids, hashes, max_dist):
+    out = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            d = bin((hashes[i] ^ hashes[j]) & ((1 << 64) - 1)).count("1")
+            if d <= max_dist:
+                a, b = sorted((ids[i], ids[j]))
+                out.add((a, b, d))
+    return out
+
+
+def test_hamming_pairs_equals_brute_force(spark):
+    """Block candidate generation + popcount verify must equal the
+    all-pairs scan exactly (the Manku pigeonhole guarantee), including
+    for block counts that don't divide 64 evenly."""
+    rng = np.random.default_rng(7)
+    base = rng.integers(0, 2**63, size=40, dtype=np.int64).tolist()
+    rows = [(i, int(h)) for i, h in enumerate(base)]
+    # plant near-dups at controlled distances off row 0
+    h0 = rows[0][1]
+    for k, bits in enumerate([(3,), (5, 17), (1, 33, 62), (2, 9, 41, 63)]):
+        m = h0
+        for b in bits:
+            m ^= 1 << b
+        rows.append((100 + k, int(np.int64(np.uint64(m % 2**64)))))
+    df = spark.createDataFrame(rows, "id long, h long")
+    for max_dist, blocks in [(3, None), (4, 5), (4, 7)]:
+        got = {(r["id1"], r["id2"], r["dist"])
+               for r in DD.hamming_pairs(df, "id", "h", max_dist,
+                                         blocks=blocks).collect()}
+        want = _brute_hamming([r[0] for r in rows],
+                              [r[1] & (2**64 - 1) for r in rows], max_dist)
+        assert got == want, (max_dist, blocks)
+
+
+def test_hamming_pairs_boundary_and_nulls(spark):
+    df = spark.createDataFrame(
+        [(1, 0), (2, 0b111), (3, 0b1111), (4, None)], "id long, h long")
+    got = {(r["id1"], r["id2"], r["dist"])
+           for r in DD.hamming_pairs(df, "id", "h", max_dist=3).collect()}
+    # (1,2)=3 in, (1,3)=4 out, (2,3)=1 in; nulls never pair
+    assert got == {(1, 2, 3), (2, 3, 1)}
+
+
+def test_hamming_pairs_on_simhash_variants(spark):
+    """End-to-end: simhash near-dup docs pair up, unrelated ones don't."""
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog " * 6),
+        (2, "the quick brown fox jumps over the lazy dog " * 6 + "tail"),
+        (3, "completely different content about spark shuffles and parquet "
+            "file formats with nothing shared at all " * 4),
+    ]
+    sims = DD.simhash_df(spark.createDataFrame(docs, "doc_id long, text string"),
+                         "doc_id", "text")
+    pairs = {(r["id1"], r["id2"]) for r in
+             DD.hamming_pairs(sims, "doc_id", "simhash", max_dist=6).collect()}
+    assert (1, 2) in pairs and (1, 3) not in pairs and (2, 3) not in pairs

@@ -149,3 +149,41 @@ def test_block_means_match_naive_loop():
             for j in range(ow):
                 want[i, j] = px[ys[i]:ys[i + 1], xs[j]:xs[j + 1]].astype(np.float64).mean(axis=(0, 1))
         assert np.array_equal(got, want), (h, w, oh, ow)
+
+
+def test_phash_near_dup_pairs_via_hamming(spark, fixture_dfs):
+    """Image near-dup detection is simhash's operator reused on pHash:
+    image_stats → hamming_pairs on the 64-bit phash column. A lightly
+    perturbed re-encode of an image must pair with its original; an
+    inverted copy must not."""
+    from hyperion_crawler_spark.functions.images import encode
+    from hyperion_crawler_spark.operators.dedup import hamming_pairs
+
+    rows = fixture_dfs["corpus"].limit(6).collect()
+    rng = np.random.default_rng(11)
+    variants = []
+    for r in rows[:3]:
+        px = make_pixels(r["image_id"], r["w"], r["h"]).astype(np.int32)
+        px = np.clip(px + rng.integers(-4, 5, size=px.shape), 0, 255)
+        variants.append((r["image_id"] + "_v", encode(px.astype(np.uint8), r["fmt"]),
+                         r["w"], r["h"], r["fmt"], r["caption"], 0))
+    base = [(r["image_id"], r["bytes"], r["w"], r["h"], r["fmt"],
+             r["caption"], r["phash"]) for r in rows]
+    # negative control: an inverted copy is visually opposite, so its
+    # block-mean phash must be far from the original's (fixture images
+    # share a gradient base, so distinct ORIGINALS can legitimately be
+    # near each other — the control has to be constructed)
+    r0 = rows[0]
+    px0 = make_pixels(r0["image_id"], r0["w"], r0["h"])
+    variants.append((r0["image_id"] + "_inv", encode(255 - px0, r0["fmt"]),
+                     r0["w"], r0["h"], r0["fmt"], r0["caption"], 0))
+    corpus = spark.createDataFrame(base + variants,
+                                   fixture_dfs["corpus"].schema)
+    stats = MM.image_stats(corpus)
+    pairs = {(r["id1"], r["id2"]) for r in
+             hamming_pairs(stats, "image_id", "phash", max_dist=6).collect()}
+    for r in rows[:3]:
+        a, b = sorted((r["image_id"], r["image_id"] + "_v"))
+        assert (a, b) in pairs, f"variant of {r['image_id']} not paired"
+    a, b = sorted((r0["image_id"], r0["image_id"] + "_inv"))
+    assert (a, b) not in pairs, "inverted image paired with its original"

@@ -81,3 +81,52 @@ def test_scoring_is_shuffle_free_projection(spark):
 def test_empty_training_set_returns_zero_weights(spark):
     fix = _labeled_fixture(spark).filter(F.lit(False))
     assert Q.train_quality_linear(fix, "qtxt", F.col("y")) == [0.0] * 6
+
+
+def test_repetition_profile_planted(spark):
+    from hyperion_crawler_spark.operators.quality import repetition_profile
+
+    docs = [
+        (1, "spark shuffle " * 10 + "end"),        # heavy bigram repeat
+        (2, "a b c d e f g h"),                    # all bigrams unique
+        (3, "solo"),                               # < n tokens -> still a row
+        (4, "x y x y z"),                          # partial repeat
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           repetition_profile(df, "doc_id", "text", n=2).collect()}
+    assert len(out) == 4
+
+    t1 = docs[0][1]
+    assert out[1]["top_gram"] == "spark shuffle"
+    # 10 occurrences x len('spark shuffle')=13 chars over the full text
+    assert abs(out[1]["top_gram_frac"] - 10 * 13 / len(t1)) < 1e-9
+    # bigram occurrences: 'spark shuffle' x10, 'shuffle spark' x9,
+    # 'shuffle end' x1 -> 19 of 20 are repeats
+    assert abs(out[1]["dup_gram_frac"] - 19 / 20) < 1e-9
+
+    assert out[2]["dup_gram_frac"] == 0.0 and out[2]["top_gram_frac"] > 0.0
+
+    # single-token doc: no bigrams, NULL top_gram, zero fractions
+    assert out[3]["top_gram"] is None
+    assert out[3]["top_gram_frac"] == 0.0 and out[3]["dup_gram_frac"] == 0.0
+
+    # 'x y' x2, 'y x' x1, 'y z' x1 -> top='x y' (2*3 chars over 9), dup 2/4
+    assert out[4]["top_gram"] == "x y"
+    assert abs(out[4]["top_gram_frac"] - 2 * 3 / 9) < 1e-9
+    assert abs(out[4]["dup_gram_frac"] - 0.5) < 1e-9
+
+
+def test_repetition_profile_tiebreak_deterministic(spark):
+    """Equal-count grams must break ties to the lexicographically
+    greatest gram on ANY partitioning (max over (count, gram) struct)."""
+    from hyperion_crawler_spark.operators.quality import repetition_profile
+
+    df = spark.createDataFrame([(1, "b a b a c")], "doc_id long, text string")
+    # bigrams: 'b a' x2? -> tokens b,a,b,a,c: 'b a' x2, 'a b' x1, 'a c' x1
+    row = repetition_profile(df, "doc_id", "text", n=2).collect()[0]
+    assert row["top_gram"] == "b a"
+    df2 = spark.createDataFrame([(1, "a b c a b d")], "doc_id long, text string")
+    # 'a b' x2 beats everything; among count-1 grams none competes
+    row2 = repetition_profile(df2.repartition(8), "doc_id", "text", n=2).collect()[0]
+    assert row2["top_gram"] == "a b"
