@@ -338,6 +338,16 @@ class SnapshotTable:
                 ent: dict = {"path": rel}
                 if pval is not None:
                     ent["part_min"] = ent["part_max"] = pval
+                # exact row count from the parquet footer (metadata-only
+                # read): lets _merge_delta's pre-write fold detection
+                # reason about churn ratios without byte estimates
+                try:
+                    import pyarrow.parquet as _pq
+
+                    ent["rows"] = _pq.ParquetFile(
+                        os.path.join(dirpath, fn)).metadata.num_rows
+                except Exception:  # stats are an optimization, never fatal
+                    pass
                 entries.append(ent)
         return entries
 
@@ -399,9 +409,17 @@ class SnapshotTable:
                              F.col("_r._tomb").alias("_tomb"))
 
     def _reconcile(self, spark: SparkSession, files: list[dict],
-                   keys: list[str]) -> DataFrame:
+                   keys: list[str],
+                   extra_delta: DataFrame | None = None) -> DataFrame:
         """Merge-on-read scan: base files ∪ delta files, newest ``_seq``
         wins per key, base rows implicitly ``_seq=0``.
+
+        ``extra_delta``: an UNWRITTEN delta batch (already stamped with
+        ``_seq``/``_tomb``) folded in alongside the on-disk deltas —
+        the pre-write fold path of ``_merge_delta`` uses this so a
+        compacting merge never writes delta files its own commit
+        orphans. Its size is unknown, so its presence always routes to
+        the full hash reconcile, never the broadcast plan.
 
         Scale shape (the Iceberg equality-delete plan): reconcile the
         DELTAS among themselves first (one small hash agg ∝ changed
@@ -415,9 +433,11 @@ class SnapshotTable:
         (compaction normally folds them long before that)."""
         base = [f for f in files if f.get("kind", "base") == "base"]
         delta = [f for f in files if f.get("kind") == "delta"]
-        if not delta:
+        if not delta and extra_delta is None:
             return self._read_files(spark, base)
-        d = self._read_files(spark, delta)
+        d = self._read_files(spark, delta) if delta else extra_delta
+        if delta and extra_delta is not None:
+            d = d.unionByName(extra_delta)
         user_cols = [c for c in d.columns if c not in ("_seq", "_tomb")]
         if not base:
             return (self._delta_winners(d, keys)
@@ -426,7 +446,7 @@ class SnapshotTable:
         user_cols = list(b.columns)  # table column order = base order
         delta_bytes = sum(
             os.path.getsize(os.path.join(self.dir, f["path"])) for f in delta)
-        if delta_bytes <= self.mor_broadcast_bytes:
+        if extra_delta is None and delta_bytes <= self.mor_broadcast_bytes:
             winners = self._delta_winners(d, keys)
             survivors = b.join(F.broadcast(winners.select(*keys)), keys, "left_anti")
             return survivors.unionByName(
@@ -710,6 +730,37 @@ class SnapshotTable:
             tomb = (tomb.withColumn("_seq", F.lit(seq).cast("long"))
                         .withColumn("_tomb", F.lit(True)))
             delta = delta.unionByName(tomb)
+
+        # ---- pre-write fold detection -------------------------------
+        # When this commit is going to compact anyway, writing the
+        # delta batch first is pure write amplification: the folded
+        # commit's file list never references those files — they are
+        # orphaned the instant they land. Detect the two triggers
+        # BEFORE writing: the commit-count trigger needs only the
+        # manifest; the churn-ratio trigger uses per-file row stats
+        # (recorded by _write_data since r5) with one count over the
+        # pinned source/delete caches standing in for the unwritten
+        # delta's bytes. Entries lacking row stats (older manifests)
+        # fall back to the post-write byte triggers below. High-churn
+        # regimes (update-heavy bounded tables, where the ratio fires
+        # near-every merge) skip a full doomed delta write per fold.
+        base_pre = [f for f in files if f.get("kind", "base") == "base"]
+        pend_pre = [f for f in files if f.get("kind") == "delta"]
+        count_fires = (self.compact_after and
+                       len({f.get("seq") for f in pend_pre}) + 1 >= self.compact_after)
+        ratio_fires = False
+        if (not count_fires and self.compact_ratio and base_pre
+                and all("rows" in f for f in base_pre + pend_pre)):
+            base_rows = sum(f["rows"] for f in base_pre)
+            pend_rows = sum(f["rows"] for f in pend_pre)
+            if base_rows:
+                n_new = alive.count() + (
+                    delete_keys.count() if delete_keys is not None else 0)
+                ratio_fires = (pend_rows + n_new) >= self.compact_ratio * base_rows
+        if count_fires or ratio_fires:
+            folded = self._reconcile(spark, files, keys, extra_delta=delta)
+            return self._commit(self._write_data(folded), meta, ver=ver)
+
         entries = self._write_data(delta)
         for e in entries:
             e["kind"] = "delta"

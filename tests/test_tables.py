@@ -570,3 +570,60 @@ def test_catalog_table_sort_cols_conflict_raises(spark, tmp_path):
         cat.table("sc", "shard", sort_cols=[F.col("b").asc()])
     # identical re-declaration is fine
     cat.table("sc", "shard", sort_cols=[F.col("a").desc()])
+
+
+def test_compacting_merge_writes_no_orphan_delta(spark, tmp_path):
+    """r5: a merge that is going to compact (count OR ratio trigger)
+    must fold the in-memory batch directly — writing delta files the
+    fold commit immediately orphans is pure write amplification. After
+    the fold, every parquet file on disk belongs to a committed
+    manifest (no instant orphans from this commit)."""
+    import os as _os
+
+    def _all_parquet(t):
+        out = set()
+        for dp, _dn, fns in _os.walk(_os.path.join(t.dir, "data")):
+            out.update(_os.path.relpath(_os.path.join(dp, f), t.dir)
+                       for f in fns if f.endswith(".parquet"))
+        return out
+
+    def _referenced(t):
+        out = set()
+        for v in range(1, (t.current_version() or 0) + 1):
+            try:
+                out.update(f["path"] for f in t._manifest(v)["files"])
+            except FileNotFoundError:
+                pass
+        return out
+
+    # ratio trigger: tiny base, one big merge → folds on the spot
+    t = Catalog(str(tmp_path / "r")).table("m9", "shard", merge_on_read=True,
+                                           compact_after=99)
+    t.append(spark.createDataFrame([(1, 1, "a"), (2, 2, "b")],
+                                   "k int, shard int, v string"))
+    assert all("rows" in f for f in t._live_files()), "row stats missing"
+    t.merge(spark, spark.createDataFrame(
+        [(i, i % 8, f"v{i}") for i in range(1, 10)],
+        "k int, shard int, v string"), ["k"])
+    assert not any(f.get("kind") == "delta" for f in t._live_files())
+    assert _all_parquet(t) == _referenced(t), "orphan files written"
+    assert sorted(_rows(t.read(spark))) == sorted(
+        [(i, i % 8, f"v{i}") for i in range(1, 10)])
+
+    # count trigger: compact_after=2 → second delta commit folds, and
+    # that commit too must leave no unreferenced files
+    t2 = Catalog(str(tmp_path / "c")).table("m9", "shard", merge_on_read=True,
+                                            compact_after=2)
+    t2.compact_ratio = 0  # isolate the count trigger
+    t2.append(spark.range(64).select(
+        F.col("id").alias("k"),
+        F.pmod("id", F.lit(8)).cast("int").alias("shard"),
+        F.lit("old").alias("v")))
+    t2.merge(spark, spark.createDataFrame([(1, 1, "n1")],
+                                          "k long, shard int, v string"), ["k"])
+    t2.merge(spark, spark.createDataFrame([(2, 2, "n2")],
+                                          "k long, shard int, v string"), ["k"])
+    assert not any(f.get("kind") == "delta" for f in t2._live_files())
+    assert _all_parquet(t2) == _referenced(t2), "orphan files written"
+    got = dict((r[0], r[2]) for r in _rows(t2.read(spark)))
+    assert got[1] == "n1" and got[2] == "n2" and got[5] == "old"
