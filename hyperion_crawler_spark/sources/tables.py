@@ -703,13 +703,25 @@ class SnapshotTable:
         ``keys`` must be stable across a table's merges (the manifest
         records them for readers). Folds all deltas into fresh base
         files every ``compact_after`` delta commits."""
-        # Idle probe on SOURCE, not ``alive``: the merge is idle iff
-        # source AND delete set are both empty, and in that case
+        # Idle/size probes on SOURCE, not ``alive``: the merge is idle
+        # iff source AND delete set are both empty, and in that case
         # alive == source — probing ``alive`` would run the
-        # delete-anti-join just to decide, while ``source.isEmpty()``
-        # is a limit(1) over the (pinned) source scan. In the common
-        # non-idle case the ``and`` short-circuits after one probe job.
-        if source.isEmpty() and (delete_keys is None or delete_keys.isEmpty()):
+        # delete-anti-join just to decide. When the pre-write fold
+        # detection below needs row counts anyway (ratio trigger armed
+        # and row stats present), ONE pair of counts over the pinned
+        # caches answers both questions; otherwise a limit(1) isEmpty
+        # probe per side (the ``and`` short-circuits after one job).
+        base_pre = [f for f in files if f.get("kind", "base") == "base"]
+        pend_pre = [f for f in files if f.get("kind") == "delta"]
+        ratio_armed = bool(self.compact_ratio and base_pre
+                           and all("rows" in f for f in base_pre + pend_pre))
+        n_new = None
+        if ratio_armed:
+            n_new = source.count() + (
+                delete_keys.count() if delete_keys is not None else 0)
+            if n_new == 0:
+                return self._commit(files, meta, keys=keys, ver=ver)  # idle
+        elif source.isEmpty() and (delete_keys is None or delete_keys.isEmpty()):
             return self._commit(files, meta, keys=keys, ver=ver)  # idle merge
         # _seq must equal the commit version: a retry after a lost race
         # re-enters with a fresh ver and REWRITES the (O(changed-rows))
@@ -744,18 +756,17 @@ class SnapshotTable:
         # fall back to the post-write byte triggers below. High-churn
         # regimes (update-heavy bounded tables, where the ratio fires
         # near-every merge) skip a full doomed delta write per fold.
-        base_pre = [f for f in files if f.get("kind", "base") == "base"]
-        pend_pre = [f for f in files if f.get("kind") == "delta"]
+        # (``n_new`` counts SOURCE rows, a slight overestimate of the
+        # anti-joined ``alive`` when delete keys overlap the source —
+        # the fold then merely fires a touch earlier; the trigger is a
+        # heuristic, not a contract.)
         count_fires = (self.compact_after and
                        len({f.get("seq") for f in pend_pre}) + 1 >= self.compact_after)
         ratio_fires = False
-        if (not count_fires and self.compact_ratio and base_pre
-                and all("rows" in f for f in base_pre + pend_pre)):
+        if not count_fires and ratio_armed and n_new is not None:
             base_rows = sum(f["rows"] for f in base_pre)
             pend_rows = sum(f["rows"] for f in pend_pre)
             if base_rows:
-                n_new = alive.count() + (
-                    delete_keys.count() if delete_keys is not None else 0)
                 ratio_fires = (pend_rows + n_new) >= self.compact_ratio * base_rows
         if count_fires or ratio_fires:
             folded = self._reconcile(spark, files, keys, extra_delta=delta)
