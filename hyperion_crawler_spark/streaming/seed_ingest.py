@@ -22,6 +22,15 @@ round-log write replays the batch, and the replay is a no-op by
 construction: every candidate is now seen, so ``probe_and_update``
 emits zero rows and unchanged filters, and the idle merges carry files
 untouched.
+
+Safe to run CONCURRENTLY with a live crawl (r5): snapshot commits use
+the optimistic protocol (sources/tables.py — exclusive manifest
+create; a lost race rebases on the new head and retries), so a daemon
+micro-batch and a crawl round racing on the frontier both land, and
+the seen state is an append-only delta-blob CRDT (state/seen.py) whose
+appends commute — neither writer can overwrite the other's Bloom bits.
+``tests/test_concurrency.py::test_daemon_concurrent_with_crawl_rounds``
+pins the combined behavior against a sequential reference run.
 """
 
 from __future__ import annotations
