@@ -726,18 +726,27 @@ def q52_audio_windows(spark, sf):
 
 
 def q53_mix_sample(spark, sf):
-    """Dataset mixing: deterministic per-source hash-sampling rates
-    (operators/selection.stratified_mix). Rates are exact binary
-    fractions so the rate·10000 threshold is exact in BOTH double
-    (Spark) and decimal (DuckDB) arithmetic — no boundary divergence."""
-    from hyperion_crawler_spark.operators.selection import stratified_mix
+    """Dataset mixing, both modes in one result (r5 widening):
+    'fixed' = deterministic per-source hash-sampling rates
+    (operators/selection.stratified_mix; rates are exact binary
+    fractions so the rate·10000 threshold is exact in BOTH double and
+    decimal arithmetic), 'temp' = temperature-weighted n^0.5 domain
+    balancing (selection.temperature_mix; sqrt is IEEE
+    correctly-rounded, so the computed rates — and therefore the kept
+    set — are bit-identical in Spark and DuckDB)."""
+    from hyperion_crawler_spark.operators.selection import (
+        stratified_mix, temperature_mix)
 
     d = _t(spark, sf, "documents").select("doc_id", "source")
-    out = stratified_mix(d, "source", "doc_id",
-                         {"src0": 1.0, "src1": 0.5, "src2": 0.25,
-                          "src3": 0.125},
-                         default_rate=0.0625)
-    return out.select("doc_id", "source")
+    fixed = stratified_mix(d, "source", "doc_id",
+                           {"src0": 1.0, "src1": 0.5, "src2": 0.25,
+                            "src3": 0.125},
+                           default_rate=0.0625)
+    temp = temperature_mix(d, "source", "doc_id",
+                           alpha=0.5, target_fraction=0.5)
+    return (fixed.select(F.lit("fixed").alias("mode"), "doc_id", "source")
+            .unionByName(temp.select(F.lit("temp").alias("mode"),
+                                     "doc_id", "source")))
 
 
 def q54_decontaminate(spark, sf):
@@ -1414,12 +1423,24 @@ def oracle_sql() -> dict[str, str]:
             FROM s
         """,
         "q53_mix_sample": f"""
-            SELECT doc_id, source FROM documents
+            WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+                       FROM documents GROUP BY source),
+            w AS (SELECT source, n, sqrt(CAST(n AS DOUBLE)) AS sw FROM c),
+            t AS (SELECT sum(sw) AS tw, sum(n) AS tn FROM w),
+            r AS (SELECT source,
+                         least(1.0, (0.5 * tn * (sw / tw)) / n) AS rate
+                  FROM w, t)
+            SELECT 'fixed' AS mode, doc_id, source FROM documents
             WHERE {_H60.format(x="concat('|', CAST(doc_id AS VARCHAR))")}
                   % 10000 <
                   (CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
                                WHEN 'src2' THEN 0.25 WHEN 'src3' THEN 0.125
                                ELSE 0.0625 END) * 10000
+            UNION ALL
+            SELECT 'temp' AS mode, d.doc_id, d.source
+            FROM documents d JOIN r USING (source)
+            WHERE {_H60.format(x="concat('|', CAST(d.doc_id AS VARCHAR))")}
+                  % 10000 < rate * 10000
         """,
         "q54_decontaminate": f"""
             WITH d AS (SELECT doc_id, source, text FROM documents),

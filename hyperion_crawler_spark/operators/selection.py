@@ -70,3 +70,47 @@ def stratified_mix(df: DataFrame, source_col: str, key_col: str,
     h = portable_hash60(F.concat(F.lit(salt), F.lit("|"),
                                  F.col(key_col).cast("string")))
     return df.filter(F.pmod(h, F.lit(SAMPLE_MOD)) < rate * SAMPLE_MOD)
+
+
+def temperature_mix(df: DataFrame, source_col: str, key_col: str,
+                    alpha: float = 0.5, target_fraction: float = 0.5,
+                    salt: str = "") -> DataFrame:
+    """Temperature-weighted dataset mixing — the multilingual /
+    domain-balancing ``n_i^alpha`` reweighting (XLM-R / mC4 / GPT-3
+    style): group sizes ``n_i`` flatten to weights
+    ``w_i = n_i^alpha / Σ_j n_j^alpha`` and each group keeps
+    ``rate_i = least(1, (target_fraction · N · (w_i/Σw)) / n_i)``, so
+    the sample totals ≈ ``target_fraction·N`` rows distributed by the
+    temperature weights — head domains down-sampled, tail domains
+    keeping a larger share than their natural frequency.
+
+    Determinism/oracle: ``alpha=0.5`` routes through ``sqrt()``, which
+    IEEE-754 requires to be CORRECTLY ROUNDED — bit-identical in Spark
+    and DuckDB, so the q53 value oracle holds exactly. Other alphas use
+    ``pow()``, whose last ulp is libm-specific; a cross-engine mirror
+    could then flip one boundary hash bucket (same class as the
+    ADVICE-r4 threshold note in this module's docstring).
+
+    Scale shape: one map-side-combinable count per group, a 1-row
+    totals aggregate, and a broadcast rate lookup over the corpus scan
+    — corpus rows never shuffle; the keep-decision is the same
+    portable_hash60 Bernoulli as hash_sample/stratified_mix, so the
+    kept set is reproducible row-for-row across runs, partitionings,
+    and engines."""
+    counts = df.groupBy(source_col).agg(F.count("*").alias("_n"))
+    wexpr = (F.sqrt(F.col("_n").cast("double")) if alpha == 0.5
+             else F.pow(F.col("_n").cast("double"), F.lit(float(alpha))))
+    w = counts.select(F.col(source_col), F.col("_n"), wexpr.alias("_w"))
+    tot = w.agg(F.sum("_w").alias("_tw"), F.sum("_n").alias("_tn"))
+    rates = (w.crossJoin(F.broadcast(tot))
+              .select(F.col(source_col),
+                      F.least(
+                          F.lit(1.0),
+                          (F.lit(float(target_fraction)) * F.col("_tn")
+                           * (F.col("_w") / F.col("_tw"))) / F.col("_n"))
+                       .alias("_rate")))
+    h = portable_hash60(F.concat(F.lit(salt), F.lit("|"),
+                                 F.col(key_col).cast("string")))
+    return (df.join(F.broadcast(rates), source_col)
+              .filter(F.pmod(h, F.lit(SAMPLE_MOD)) < F.col("_rate") * F.lit(SAMPLE_MOD))
+              .drop("_rate"))

@@ -81,3 +81,43 @@ def test_hash_sample_matches_stratified_mix_rows(spark):
     b = sorted(r["k"] for r in
                stratified_mix(df, "src", "k", {"s": 0.3}).collect())
     assert a == b
+
+
+def test_temperature_mix_rates_and_determinism(spark):
+    """alpha=0.5 flattening: the head source is down-sampled, the tail
+    keeps (up to) everything; the kept set is exactly the per-source
+    hash sample at the closed-form rates, on any partitioning."""
+    import math
+
+    from hyperion_crawler_spark.operators.selection import (
+        SAMPLE_MOD, hash_sample_keep, temperature_mix)
+
+    sizes = {"big": 6400, "mid": 1600, "tiny": 100}
+    rows = [(f"{s}-{i}", s) for s, n in sizes.items() for i in range(n)]
+    df = spark.createDataFrame(rows, "doc_id string, source string")
+
+    out = temperature_mix(df, "source", "doc_id",
+                          alpha=0.5, target_fraction=0.5)
+    got = {s: 0 for s in sizes}
+    for r in out.collect():
+        got[r["source"]] += 1
+
+    # closed-form rates
+    tw = sum(math.sqrt(n) for n in sizes.values())
+    tn = sum(sizes.values())
+    rates = {s: min(1.0, (0.5 * tn * (math.sqrt(n) / tw)) / n)
+             for s, n in sizes.items()}
+    assert rates["tiny"] == 1.0          # tail capped at keep-everything
+    assert rates["big"] < rates["mid"] < 1.0
+    # exact expected counts: replay the same hash decision in Spark
+    for s, n in sizes.items():
+        sub = df.filter(F.col("source") == s)
+        want = sub.filter(hash_sample_keep(F.col("doc_id"), rates[s])).count()
+        assert got[s] == want, (s, got[s], want)
+
+    # partition-independence: same kept set after a repartition
+    ids = {r["doc_id"] for r in out.collect()}
+    ids2 = {r["doc_id"] for r in
+            temperature_mix(df.repartition(16), "source", "doc_id",
+                            alpha=0.5, target_fraction=0.5).collect()}
+    assert ids == ids2
