@@ -255,9 +255,21 @@ def q22_text_quality(spark, sf):
 
     d = _t(spark, sf, "documents")
     rep = repetition_profile(d, "doc_id", "text", n=2)
+    # PII scrub (r5 widening #2): the corpus text is PII-free, so each
+    # doc_id%4 class gets a deterministic identifier suffix — counts
+    # and the redacted length then value-check the full scrub pipeline
+    m4 = F.col("doc_id") % 4
+    ptxt = F.concat(
+        F.col("text"),
+        F.when(m4 == 0, F.lit(" reach admin@crawl.example.org"))
+         .when(m4 == 1, F.lit(" node 172.16.254.3 up"))
+         .when(m4 == 2, F.lit(" call +1 650 555 0100"))
+         .otherwise(F.lit("")))
     base = d.select("doc_id", *TX.quality_metrics(F.col("text")),
                     TX.quality_score(F.col("text")).alias("quality"),
-                    TX.fingerprint(F.col("text")).alias("fp"))
+                    TX.fingerprint(F.col("text")).alias("fp"),
+                    *TX.pii_counts(ptxt),
+                    F.length(TX.redact_pii(ptxt)).alias("red_len"))
     return base.join(rep, "doc_id").select(
         base["*"], "top_gram",
         F.round("top_gram_frac", 6).alias("top_gram_frac"),
@@ -1151,6 +1163,12 @@ def oracle_sql() -> dict[str, str]:
     punct = "length(regexp_replace(text, '[^.,;:!?]', '', 'g'))"
     upper = "length(regexp_replace(text, '[^A-Z]', '', 'g'))"
     ntok = "len(string_split(text, ' '))"
+    # PII mirror (q22): same patterns, same progressive redaction order
+    # (counts for kind k run on text already redacted for kinds < k)
+    pii_email, pii_ip, pii_phone = (p[1] for p in TX.PII_PATTERNS)
+    red1 = f"regexp_replace(ptxt, '{pii_email}', '<EMAIL>', 'g')"
+    red2 = f"regexp_replace({red1}, '{pii_ip}', '<IP>', 'g')"
+    red3 = f"regexp_replace({red2}, '{pii_phone}', '<PHONE>', 'g')"
 
     return {
         "q01_first_wins_dedup": """
@@ -1358,10 +1376,20 @@ def oracle_sql() -> dict[str, str]:
                        + round({sw['en']} / {ntok}, 6) * 2.0
                        - {punct} / length(text)), 6) AS quality,
                    sha256(substr(lower(regexp_replace(text, '\\s+', ' ', 'g')), 1, 64)) AS fp,
+                   CAST(len(regexp_extract_all(ptxt, '{pii_email}')) AS INTEGER) AS n_email,
+                   CAST(len(regexp_extract_all({red1}, '{pii_ip}')) AS INTEGER) AS n_ipv4,
+                   CAST(len(regexp_extract_all({red2}, '{pii_phone}')) AS INTEGER) AS n_phone,
+                   CAST(length({red3}) AS INTEGER) AS red_len,
                    p.top_gram,
                    round(coalesce((p.top_c * length(p.top_gram)) / p.nc, 0.0), 6) AS top_gram_frac,
                    round(coalesce(CAST(p.dup AS DOUBLE) / CAST(p.tot AS DOUBLE), 0.0), 6) AS dup_gram_frac
-            FROM documents
+            FROM (SELECT *,
+                         text || CASE doc_id % 4
+                           WHEN 0 THEN ' reach admin@crawl.example.org'
+                           WHEN 1 THEN ' node 172.16.254.3 up'
+                           WHEN 2 THEN ' call +1 650 555 0100'
+                           ELSE '' END AS ptxt
+                  FROM documents) documents
             LEFT JOIN (
               WITH tok AS (
                 SELECT doc_id, length(text) AS nc,

@@ -134,3 +134,36 @@ def fingerprint(text: Column, prefix_chars: int = 64) -> Column:
     analog used for fast candidate grouping before exact dedup."""
     norm = F.substring(F.lower(F.regexp_replace(text, r"\s+", " ")), 1, prefix_chars)
     return F.sha2(norm, 256)
+
+
+# PII scrubbing — the standard pretraining redaction pass. Patterns are
+# deliberately restricted to syntax with identical semantics in Java
+# regex (Spark) and RE2 (DuckDB): no lookaround, no backrefs, greedy
+# quantifiers only. Order matters: EMAIL before PHONE (an address's
+# digit runs must not be half-eaten as a phone number first).
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+\d[\d -]{7,}\d", "<PHONE>"),
+]
+
+
+def pii_counts(text: Column) -> list[Column]:
+    """Per-kind PII match counts (n_email / n_ipv4 / n_phone), counted
+    on the progressively-redacted text exactly as ``redact_pii``
+    rewrites it, so counts and redaction always agree."""
+    out = []
+    cur = text
+    for kind, pat, token in PII_PATTERNS:
+        out.append(F.regexp_count(cur, F.lit(pat)).alias(f"n_{kind}"))
+        cur = F.regexp_replace(cur, pat, token)
+    return out
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace every PII match with its typed placeholder token, in
+    PII_PATTERNS order (single pass per kind; pure Catalyst)."""
+    cur = text
+    for _kind, pat, token in PII_PATTERNS:
+        cur = F.regexp_replace(cur, pat, token)
+    return cur

@@ -51,3 +51,27 @@ def test_japanese_beats_cjk_when_kana_present(spark):
     # Japanese text is kana+kanji; routing order must not call it zh
     t = "日本語のテキストですこれはとても良いです"
     assert _guess(spark, lang_id_scripted, [t]) == ["ja"]
+
+
+def test_pii_redaction_and_counts(spark):
+    from hyperion_crawler_spark.functions.text import pii_counts, redact_pii
+
+    rows = [
+        (1, "mail bob.smith+x@sub.example.co.uk now"),
+        (2, "server at 10.0.0.1 and 192.168.1.255 up"),
+        (3, "call +1 415-555-0199 or +44 20 7946 0958"),
+        (4, "plain text with no identifiers at all"),
+        (5, "mixed a@b.io on 8.8.8.8 dial +33 1 23 45 67 89"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in df.select(
+        "doc_id", *pii_counts(F.col("text")),
+        redact_pii(F.col("text")).alias("red")).collect()}
+    assert out[1]["n_email"] == 1 and "<EMAIL>" in out[1]["red"]
+    assert "bob" not in out[1]["red"]
+    assert out[2]["n_ipv4"] == 2 and out[2]["red"].count("<IP>") == 2
+    assert out[3]["n_phone"] == 2 and out[3]["red"].count("<PHONE>") == 2
+    assert out[4]["n_email"] == out[4]["n_ipv4"] == out[4]["n_phone"] == 0
+    assert out[4]["red"] == rows[3][1]
+    assert (out[5]["n_email"], out[5]["n_ipv4"], out[5]["n_phone"]) == (1, 1, 1)
+    assert out[5]["red"] == "mixed <EMAIL> on <IP> dial <PHONE>"
