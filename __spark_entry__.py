@@ -272,8 +272,8 @@ def q22_text_quality(spark, sf):
                     F.length(TX.redact_pii(ptxt)).alias("red_len"))
     return base.join(rep, "doc_id").select(
         base["*"], "top_gram",
-        F.round("top_gram_frac", 6).alias("top_gram_frac"),
-        F.round("dup_gram_frac", 6).alias("dup_gram_frac"))
+        _pround(F.col("top_gram_frac"), 6).alias("top_gram_frac"),
+        _pround(F.col("dup_gram_frac"), 6).alias("dup_gram_frac"))
 
 
 def q23_lang_id(spark, sf):
@@ -1381,8 +1381,8 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(regexp_extract_all({red2}, '{pii_phone}')) AS INTEGER) AS n_phone,
                    CAST(length({red3}) AS INTEGER) AS red_len,
                    p.top_gram,
-                   round(coalesce((p.top_c * length(p.top_gram)) / p.nc, 0.0), 6) AS top_gram_frac,
-                   round(coalesce(CAST(p.dup AS DOUBLE) / CAST(p.tot AS DOUBLE), 0.0), 6) AS dup_gram_frac
+                   floor(coalesce((p.top_c * length(p.top_gram)) / p.nc, 0.0) * 1e6 + 0.5) / 1e6 AS top_gram_frac,
+                   floor(coalesce(CAST(p.dup AS DOUBLE) / CAST(p.tot AS DOUBLE), 0.0) * 1e6 + 0.5) / 1e6 AS dup_gram_frac
             FROM (SELECT *,
                          text || CASE doc_id % 4
                            WHEN 0 THEN ' reach admin@crawl.example.org'
@@ -1466,7 +1466,8 @@ def oracle_sql() -> dict[str, str]:
                                ELSE 0.0625 END) * 10000
             UNION ALL
             SELECT 'temp' AS mode, d.doc_id, d.source
-            FROM documents d JOIN r USING (source)
+            FROM documents d
+            JOIN r ON d.source IS NOT DISTINCT FROM r.source
             WHERE {_H60.format(x="concat('|', CAST(d.doc_id AS VARCHAR))")}
                   % 10000 < rate * 10000
         """,

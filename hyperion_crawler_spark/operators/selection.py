@@ -111,6 +111,12 @@ def temperature_mix(df: DataFrame, source_col: str, key_col: str,
                        .alias("_rate")))
     h = portable_hash60(F.concat(F.lit(salt), F.lit("|"),
                                  F.col(key_col).cast("string")))
-    return (df.join(F.broadcast(rates), source_col)
+    # null-safe join: a NULL source is a legitimate group (groupBy
+    # emitted a rate row for it); a plain equi-join would silently drop
+    # every NULL-source row — neither sampled nor counted — where
+    # stratified_mix's CASE gives them default_rate
+    r2 = rates.withColumnRenamed(source_col, "_rate_src")
+    return (df.join(F.broadcast(r2),
+                    F.col(source_col).eqNullSafe(F.col("_rate_src")))
               .filter(F.pmod(h, F.lit(SAMPLE_MOD)) < F.col("_rate") * F.lit(SAMPLE_MOD))
-              .drop("_rate"))
+              .drop("_rate", "_rate_src"))

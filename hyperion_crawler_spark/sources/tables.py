@@ -38,6 +38,7 @@ base/loader.py:144-186), ``overwrite_partitions`` = REPLACE
 from __future__ import annotations
 
 import contextlib
+import errno
 import json
 import os
 import time
@@ -254,7 +255,11 @@ class SnapshotTable:
         crawl rounds, so the window requires a crash + a foreign
         compaction inside one round — accepted at this round's scope."""
         base = base_ver or 0
-        base_files = self._live_files(base_ver)
+        # the NORMALIZED base, not base_ver: _live_files(None) means
+        # "current head", which would seed the replay with head files
+        # while the loop below replays diffs from v1 — carrying the
+        # very orphans the walk exists to drop
+        base_files = self._live_files(base)
         if head_ver <= base:
             return base_files
         logged: set[int] = set()
@@ -1089,7 +1094,13 @@ class Catalog:
                 try:
                     fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
                     break
-                except OSError:
+                except OSError as e:
+                    # only EWOULDBLOCK/EAGAIN means "held by someone" —
+                    # ENOLCK/EOPNOTSUPP (locking unsupported, e.g. some
+                    # network mounts) must surface immediately, not
+                    # masquerade as 120 s of contention
+                    if e.errno not in (errno.EWOULDBLOCK, errno.EAGAIN):
+                        raise
                     if time.monotonic() - t0 > timeout:
                         raise TimeoutError(f"round-log lock held: {lock}")
                     time.sleep(0.01)

@@ -146,7 +146,8 @@ def _fold_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
                           "n_items": int(pdf["n_items"].sum())}])
 
 
-def fold_filters(spark, seen_table) -> int | None:
+def fold_filters(spark, seen_table,
+                 require_checkpointed: bool = False) -> int | None:
     """Maintenance: OR-compact the append-only seen_filters table back
     to ONE row per shard (the fold the probe kernel otherwise performs
     on every read). Bounds probe read cost at O(shards), not O(rounds).
@@ -157,12 +158,31 @@ def fold_filters(spark, seen_table) -> int | None:
     (the delta representation makes a lost update impossible — OR is
     order-free). Returns the new version, or None if there is nothing
     to fold. Folded-away row versions remain time-travelable until
-    ``Catalog.expire`` sweeps them."""
+    ``Catalog.expire`` sweeps them.
+
+    ``require_checkpointed``: refuse (return None) unless the table
+    head is referenced in the round log. A MAINTENANCE caller (CLI GC)
+    must set this: a store can carry a crashed crawl attempt's seen
+    delta at head — bits whose frontier merge never committed. The
+    crawl's own redo discipline orphans that commit on resume, but a
+    fold from a different writer would bake its bits into a logged
+    blob, making the crashed attempt's URLs read as seen forever while
+    their frontier rows are gone — permanently lost URLs (same
+    stale-head guard as ``rewrite_small_files``, ADVICE r4). The
+    IN-CRAWL fold (cfg.fold_seen_every) does NOT set it: there the
+    head is this round's own just-rebased append — crashed leftovers
+    are already orphaned out, and a crash before this round's
+    commit_round orphans the fold itself."""
     from ..sources.tables import CommitConflict
 
     head = seen_table.current_version()
     if not head:
         return None
+    if require_checkpointed:
+        logged = (seen_table.log_lookup() if seen_table.log_lookup
+                  else set())
+        if head not in logged:
+            return None  # dirty head: in-flight or crashed commits
     files = seen_table._live_files(head)
     if len(files) <= 1:
         return None

@@ -124,13 +124,17 @@ def main() -> None:
         from hyperion_crawler_spark.state.seen import fold_filters
 
         cat_gc = Catalog(args.store, writer="maintenance")
-        seen_fold_v = fold_filters(spark, cat_gc.table("seen_filters", "shard"))
+        seen_fold_v = fold_filters(spark, cat_gc.table("seen_filters", "shard"),
+                                   require_checkpointed=True)
         if seen_fold_v is not None:
             # fold back to one blob per shard and fold the version into
-            # the round log so resumes bind to the compacted snapshot
+            # the round log so resumes bind to the compacted snapshot.
+            # require_checkpointed: a dirty head (crashed-attempt or
+            # in-flight deltas) skips the fold — baking unlogged bits
+            # into a logged blob would lose those URLs forever
             cat_gc.commit_round(cat_gc.last_round() or 0,
                                 {"seen_filters": seen_fold_v}, fold=True)
-        stats = Catalog(args.store).expire(
+        stats = cat_gc.expire(
             keep_rounds=args.gc_keep_rounds,
             spark=spark if args.rewrite_small_mb else None,
             rewrite_small_bytes=args.rewrite_small_mb << 20 or None)

@@ -34,6 +34,7 @@ from pyspark.sql import functions as F  # noqa: E402
 from hyperion_crawler_spark.config import CrawlConfig, get_spark  # noqa: E402
 from hyperion_crawler_spark.sources.tables import Catalog  # noqa: E402
 from hyperion_crawler_spark.state.seen import (  # noqa: E402
+    _fold_kernel,
     fold_filters,
     probe_and_update,
 )
@@ -97,8 +98,7 @@ def main() -> None:
         full = (delta_t.read(spark)
                 .groupBy("shard")
                 .applyInPandas(
-                    __import__("hyperion_crawler_spark.state.seen",
-                               fromlist=["_fold_kernel"])._fold_kernel,
+                    _fold_kernel,
                     "shard int, filter_bytes binary, n_items long"))
         b1 = _live_paths(replace_t)
         t1 = time.perf_counter()

@@ -109,3 +109,41 @@ def test_within_batch_duplicates_survive_probe(spark, crawl_cfg):
     empty = spark.createDataFrame([], "shard int, filter_bytes binary, n_items long")
     unseen, _, _c6 = probe_and_update(_cands(spark, [7, 7], crawl_cfg), empty, crawl_cfg)
     assert unseen.count() >= 1
+
+
+def test_gc_fold_refuses_dirty_head(spark, crawl_cfg, tmp_path):
+    """require_checkpointed (the CLI GC path): a crashed crawl
+    attempt's seen delta at head must NOT be folded into a logged blob
+    — its frontier merge never committed, so baking its bits in would
+    make those URLs read seen forever while their frontier rows are
+    gone (r5 review finding #1). The fold refuses on a dirty head and
+    proceeds once the head is checkpointed."""
+    from hyperion_crawler_spark.sources.tables import Catalog
+    from hyperion_crawler_spark.state.seen import fold_filters
+
+    empty = spark.createDataFrame([], "shard int, filter_bytes binary, n_items long")
+    cat = Catalog(str(tmp_path), writer="crawl")
+    seen_t = cat.table("seen_filters", "shard")
+    s = crawl_cfg.n_shards
+
+    _, f1, _c1 = probe_and_update(
+        _cands(spark, [i * s for i in range(1, 20)], crawl_cfg), empty, crawl_cfg)
+    v1 = seen_t.append(f1, base_version=0)
+    cat.commit_round(1, {"seen_filters": v1})
+    _, f2, _c2 = probe_and_update(
+        _cands(spark, [i * s for i in range(50, 60)], crawl_cfg), empty, crawl_cfg)
+    seen_t.append(f2, base_version=v1)  # crashed attempt: never logged
+
+    mt = Catalog(str(tmp_path), writer="maintenance") \
+        .table("seen_filters", "shard")
+    assert fold_filters(spark, mt, require_checkpointed=True) is None, \
+        "dirty head must refuse the maintenance fold"
+
+    # once checkpointed, the same fold proceeds (needs >1 file: add a
+    # second LOGGED delta first)
+    _, f3, _c3 = probe_and_update(
+        _cands(spark, [i * s for i in range(80, 90)], crawl_cfg), empty, crawl_cfg)
+    v3 = seen_t.append(f3)
+    cat.commit_round(2, {"seen_filters": v3})
+    v4 = fold_filters(spark, mt, require_checkpointed=True)
+    assert v4 is not None and v4 > v3
