@@ -1,0 +1,139 @@
+"""End-to-end training-data curation pipeline — one spark-submit entry
+that chains the engine's LLM-data operators over a documents table:
+
+    exact dedup → MinHash near-dup clustering (keep one per cluster)
+    → benchmark decontamination (optional) → quality filter
+    → PII redaction → temperature-weighted domain mixing
+    → sequence packing into fixed token windows
+
+    spark-submit --py-files hcs.zip scripts/run_curate.py \
+        --docs /root/testdata/sf0.01/documents.parquet \
+        --out /tmp/curated --window 1024
+
+Prints ONE JSON line with per-stage surviving-row counts and writes
+``<out>/documents.parquet`` (curated, PII-redacted text + token counts)
+and ``<out>/packs.parquet`` (pack_id → doc_ids token windows).
+
+Every stage is deterministic (hash-keyed sampling, struct-max
+tie-breaks, bucketed FFD), so the same inputs produce byte-identical
+curated sets on any partitioning — pinned by tests/test_curate.py.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, SparkSession  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def curate(spark: SparkSession, docs: DataFrame, out_dir: str,
+           window: int = 1024, benchmark: DataFrame | None = None,
+           min_quality: float = 0.0, alpha: float = 0.5,
+           target_fraction: float = 1.0, n_buckets: int = 0) -> dict:
+    """Run the curation chain; returns the per-stage stats dict."""
+    from hyperion_crawler_spark.functions.text import (
+        quality_score, redact_pii, token_count)
+    from hyperion_crawler_spark.operators import dedup as DD
+    from hyperion_crawler_spark.operators.packing import pack_sequences
+    from hyperion_crawler_spark.operators.selection import temperature_mix
+
+    stats: dict = {"input": docs.count()}
+
+    # 1. exact dedup (first-wins on content hash)
+    cur = DD.exact_dedup(docs, "doc_id", "text")
+    stats["exact_dedup"] = cur.count()
+
+    # 2. near-dup: LSH pairs → connected components → keep one per
+    # cluster (representative = min doc_id, the operator contract)
+    handles: list = []
+    pairs = DD.minhash_lsh_pairs(cur, "doc_id", "text", handles=handles)
+    labels = DD.dup_clusters(pairs)
+    cur = DD.keep_cluster_representatives(cur, "doc_id", labels)
+    cur = cur.persist()
+    stats["near_dedup"] = cur.count()
+    for h in handles:
+        h.unpersist()
+
+    # 3. benchmark decontamination (8-gram overlap rule)
+    if benchmark is not None:
+        cur = DD.decontaminate(cur, benchmark, "doc_id", "text", n=8)
+        cur = cur.persist()
+        stats["decontaminate"] = cur.count()
+
+    # 4. heuristic quality floor
+    if min_quality > 0.0:
+        cur = cur.filter(quality_score(F.col("text")) >= min_quality)
+        stats["quality"] = cur.count()
+
+    # 5. PII scrub (text rewritten in place)
+    cur = cur.withColumn("text", redact_pii(F.col("text")))
+
+    # exact_dedup projects down to (doc_id, text, content_sha) — the
+    # mixing stage needs the domain column back
+    cur = cur.select("doc_id", "text").join(
+        docs.select("doc_id", "source"), "doc_id")
+
+    # 6. temperature-weighted domain mixing
+    if target_fraction < 1.0 or alpha != 1.0:
+        cur = temperature_mix(cur, "source", "doc_id", alpha=alpha,
+                              target_fraction=target_fraction)
+    cur = cur.withColumn("n_tok", token_count(F.col("text"))).persist()
+    stats["mixed"] = cur.count()
+
+    # 7. pack into fixed token windows. Bucket count scales with the
+    # corpus: each FFD bucket leaves at most one under-filled tail bin,
+    # so buckets must stay ≪ total_tokens/window or tail waste
+    # dominates (measured fill 0.18 at 64 buckets on a 222-doc corpus
+    # vs >0.9 when scaled); ~8 windows of work per bucket keeps tail
+    # waste ≤ ~1/8 while still fanning out wide corpora.
+    if not n_buckets:
+        total_tok = cur.agg(F.sum("n_tok")).first()[0] or 0
+        n_buckets = max(1, min(4096, int(total_tok // (window * 8))))
+    stats["pack_buckets"] = n_buckets
+    packs = pack_sequences(cur, "doc_id", "n_tok", window,
+                           n_buckets=n_buckets)
+    packs = packs.persist()
+    stats["packs"] = packs.count()
+    stats["pack_fill_frac"] = round(
+        packs.agg(F.sum("fill")).first()[0] / (window * stats["packs"]), 4)
+
+    cur.write.mode("overwrite").parquet(os.path.join(out_dir, "documents.parquet"))
+    packs.write.mode("overwrite").parquet(os.path.join(out_dir, "packs.parquet"))
+    cur.unpersist()
+    packs.unpersist()
+    return stats
+
+
+def main() -> None:
+    from hyperion_crawler_spark.config import get_spark
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", required=True, help="documents parquet (doc_id, source, text)")
+    ap.add_argument("--out", required=True, help="output directory")
+    ap.add_argument("--benchmark", help="optional benchmark parquet (text) to decontaminate against")
+    ap.add_argument("--window", type=int, default=1024)
+    ap.add_argument("--min-quality", type=float, default=0.0)
+    ap.add_argument("--alpha", type=float, default=0.5)
+    ap.add_argument("--target-frac", type=float, default=1.0)
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args()
+
+    spark = get_spark(app="hyperion-curate", master=args.master)
+    docs = spark.read.parquet(args.docs).select("doc_id", "source", "text")
+    bench = spark.read.parquet(args.benchmark).select("text") \
+        if args.benchmark else None
+    stats = curate(spark, docs, args.out, window=args.window,
+                   benchmark=bench, min_quality=args.min_quality,
+                   alpha=args.alpha, target_fraction=args.target_frac)
+    print(json.dumps({"event": "curate", "out": args.out, **stats}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

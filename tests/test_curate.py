@@ -1,0 +1,76 @@
+"""End-to-end curation pipeline (scripts/run_curate.py): stage counts
+shrink monotonically, planted duplicates/contamination are removed,
+PII is scrubbed from the output, and the whole chain is deterministic
+across partitionings."""
+
+import os
+import sys
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "scripts"))
+
+from run_curate import curate  # noqa: E402
+
+
+CONTAM = "contamination marker alpha beta gamma delta epsilon zeta"
+
+
+def _fixture(spark):
+    # shared run is only 7 tokens -> no 8-gram ever matches the
+    # benchmark; contamination is planted ONLY in docs 102/103
+    base = [(i, f"src{i % 3}",
+             f"doc {i} body filler one two three four five "
+             f"unique{i} six seven eight nine ten")
+            for i in range(60)]
+    rows = list(base)
+    rows.append((100, "src0", base[0][2]))            # exact dup of doc 0
+    # near-dup of doc 1: one APPENDED token keeps 14/16 shingles shared
+    # (jaccard 0.875 — solidly above the 0.5 verify threshold and the
+    # ~0.71 LSH s-curve midpoint, so the banding finds it with the
+    # fixed minhash seeds)
+    rows.append((101, "src1", base[1][2] + " trailing"))
+    rows.append((102, "src2", f"page mentioning {CONTAM} and more text"))
+    rows.append((103, "src0", f"another page with {CONTAM} inside it"))
+    rows.append((104, "src1",
+                 "clean page reach leak@example.com for details with "
+                 "plenty of other unrelated words here"))
+    return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+
+def test_curate_end_to_end(spark, tmp_path):
+    docs = _fixture(spark)
+    bench = spark.createDataFrame([(f"report about {CONTAM} here",)],
+                                  "text string")
+    out = str(tmp_path / "cur")
+    stats = curate(spark, docs, out, window=256, benchmark=bench)
+
+    assert stats["exact_dedup"] == stats["input"] - 1          # doc 100
+    assert stats["near_dedup"] <= stats["exact_dedup"] - 1     # doc 101
+    # exactly the two planted docs share an 8-gram with the benchmark
+    assert stats["decontaminate"] == stats["near_dedup"] - 2
+    assert stats["packs"] >= 1
+    assert 0 < stats["pack_fill_frac"] <= 1.0
+
+    cur = spark.read.parquet(os.path.join(out, "documents.parquet"))
+    texts = [r["text"] for r in cur.collect()]
+    assert not any("leak@example.com" in t for t in texts), "PII survived"
+    assert cur.filter(F.col("n_tok") <= 0).count() == 0
+
+    packs = spark.read.parquet(os.path.join(out, "packs.parquet"))
+    packed = sorted(d for r in packs.collect() for d in r["doc_ids"])
+    kept = sorted(str(r["doc_id"]) for r in cur.collect())
+    assert packed == kept, "packs must cover exactly the curated docs"
+
+
+def test_curate_deterministic(spark, tmp_path):
+    docs = _fixture(spark)
+    s1 = curate(spark, docs, str(tmp_path / "a"), window=256)
+    s2 = curate(spark, docs.repartition(13), str(tmp_path / "b"), window=256)
+    assert s1 == s2
+    a = {r["doc_id"] for r in
+         spark.read.parquet(str(tmp_path / "a" / "documents.parquet")).collect()}
+    b = {r["doc_id"] for r in
+         spark.read.parquet(str(tmp_path / "b" / "documents.parquet")).collect()}
+    assert a == b
