@@ -243,7 +243,13 @@ class ETLPipeline:
                           mode: LoadMode | None = None) -> LoadResult:
         src = self.sources[source_name]
         params = params or {}
-        raw = src.extract(self.spark, params)
+        # persist the extract exactly like the phase API does
+        # (extract_data → _pinned): the load runs up to four actions
+        # over the E→T lineage (merge, latest-slice, quarantine count,
+        # quarantine append) and would otherwise re-run the extraction
+        # per action; _load's finally releases the pin
+        raw = src.extract(self.spark, params).persist()
+        self._pinned.setdefault(source_name, []).append(raw)
         dim = src.asset_master(self.spark)
         valid, quarantine = src.transform(raw, dim)
         return self._load(source_name, valid, quarantine, mode, params)
@@ -297,17 +303,16 @@ class ETLPipeline:
         elif mode == LoadMode.INSERT:
             # reference INSERT: a key conflict is an integrity ERROR
             # (krx/loader.py:146-158 — the DB raises, the batch rolls
-            # back). The pre-commit probe is one bounded left-semi job;
-            # nothing is written when it trips.
-            existing = table.read(self.spark)
-            if existing is not None:
-                ks = src.conflict_keys
-                conflict = (deduped.join(existing.select(*ks).distinct(),
-                                         ks, "left_semi").limit(1).count())
-                if conflict:
-                    raise ValueError(
-                        f"INSERT conflict on {ks} into {src.target_table}")
-            table.append(observed)
+            # back). insert_strict carries those semantics through
+            # concurrent writers: probe at a pinned head, verify the
+            # commit landed directly on it, and roll the append back on
+            # an interleaved conflict (r5 review — the old probe-then-
+            # append let two racing INSERTs both pass their probes).
+            # ``observed`` is appended (the Observation rides the write
+            # scan); the UNobserved ``deduped`` twin feeds the probes
+            # (Spark 4 Observations break under joins).
+            table.insert_strict(self.spark, observed, src.conflict_keys,
+                                probe=deduped)
         elif mode == LoadMode.UPDATE:
             # update-only-matched: rows whose key is absent are SKIPPED,
             # never inserted (the enum's "업데이트만" semantics; the

@@ -64,7 +64,12 @@ def parse_robots_txt(text: str, agent: str = "hyperion"
             if in_group_body:
                 flush()
                 in_group_body = False
-            cur_agents.append(value.lower())
+            # an EMPTY agent value must be skipped, not recorded: ''
+            # is a substring of every agent string, so a malformed
+            # 'User-agent:' line would otherwise match every crawler
+            # as a specific group and shadow the legitimate '*' group
+            if value:
+                cur_agents.append(value.lower())
         elif field == "disallow":
             in_group_body = True
             if value:
@@ -81,21 +86,46 @@ def parse_robots_txt(text: str, agent: str = "hyperion"
                 pass
     flush()
 
-    specific = next((g for g in groups
-                     if any(a != "*" and (a in agent or agent in a) for a in g[0])), None)
-    fallback = next((g for g in groups if "*" in g[0]), None)
+    # RFC 9309 §2.2.1: when MULTIPLE groups match the same agent their
+    # rules MUST be combined — real robots files repeat groups freely.
+    # Specific-agent groups still beat the '*' fallback as a class.
+    specific = [g for g in groups
+                if any(a != "*" and (a in agent or agent in a) for a in g[0])]
+    fallback = [g for g in groups if "*" in g[0]]
     chosen = specific or fallback
-    if chosen is None:
+    if not chosen:
         return [], [], 0.0
-    return chosen[1], chosen[2], chosen[3] if chosen[3] is not None else 0.0
+    dis = [p for g in chosen for p in g[1]]
+    allow = [p for g in chosen for p in g[2]]
+    delays = [g[3] for g in chosen if g[3] is not None]
+    # several delays → take the most conservative (max)
+    return dis, allow, max(delays) if delays else 0.0
+
+
+def rule_matches(path: str, rule: str) -> bool:
+    """RFC 9309 §2.2.3 match: ``*`` matches any character sequence and
+    a TRAILING ``$`` anchors the end of the path; everything else is a
+    literal prefix. Rules without either special char keep the fast
+    prefix test. Scalar mirror of the Catalyst ``_rule_regex`` match in
+    operators/politeness.py (fuzz-bridged in tests/test_robots.py)."""
+    if "*" not in rule and not rule.endswith("$"):
+        return path.startswith(rule)
+    import re
+
+    pat = re.escape(rule)            # escapes '*' as '\*', '$' as '\$'
+    pat = pat.replace(r"\*", ".*")
+    if pat.endswith(r"\$"):
+        pat = pat[:-2] + "$"
+    return re.match(pat, path) is not None
 
 
 def is_path_allowed(path: str, disallow: list[str], allow: list[str]) -> bool:
-    """RFC 9309 §2.2.2 precedence: longest matching prefix wins; tie
-    (including no match at all) → allowed. Scalar mirror of the
-    Catalyst expression in operators/politeness.py (parity oracle)."""
-    dlen = max((len(p) for p in disallow if path.startswith(p)), default=0)
-    alen = max((len(p) for p in allow if path.startswith(p)), default=0)
+    """RFC 9309 §2.2.2 precedence: the matching rule with the most
+    octets (raw rule length, wildcards counted) wins; tie (including
+    no match at all) → allowed. Scalar mirror of the Catalyst
+    expression in operators/politeness.py (parity oracle)."""
+    dlen = max((len(p) for p in disallow if rule_matches(path, p)), default=0)
+    alen = max((len(p) for p in allow if rule_matches(path, p)), default=0)
     return alen >= dlen
 
 

@@ -61,11 +61,27 @@ def with_robots(frontier: DataFrame, robots: DataFrame, cfg: CrawlConfig) -> Dat
     df = frontier.join(r, "host", "left")
     path = path_expr(F.col("url"))
 
+    def rule_hit(p):
+        # RFC 9309 §2.2.3: '*' matches any sequence, a TRAILING '$'
+        # anchors the path end; plain rules keep the cheap prefix test
+        # (the overwhelmingly common case — the regex branch only runs
+        # for rules that carry a special char). Mirrors
+        # functions/robots.rule_matches exactly (fuzz-bridged).
+        # Java replacement strings treat '$' as a group ref and '\' as
+        # an escape: '\\\$' emits the two chars '\$', '\$' emits '$'
+        esc = F.regexp_replace(p, r"([\\.\^\+\?\(\)\{\}\[\]\|])", r"\\$1")
+        esc = F.regexp_replace(esc, r"\*", ".*")
+        esc = F.regexp_replace(esc, r"\$", r"\\\$")
+        esc = F.regexp_replace(esc, r"\\\$$", r"\$")
+        return F.when(p.contains("*") | p.endswith("$"),
+                      F.regexp_like(path, F.concat(F.lit("^"), esc))) \
+                .otherwise(path.startswith(p))
+
     def longest_match(col):
         prefixes = F.coalesce(col, F.array().cast("array<string>"))
         return F.coalesce(
             F.array_max(F.transform(
-                F.filter(prefixes, lambda p: path.startswith(p)),
+                F.filter(prefixes, rule_hit),
                 lambda p: F.length(p))),
             F.lit(0))
 

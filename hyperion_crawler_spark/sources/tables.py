@@ -513,6 +513,70 @@ class SnapshotTable:
             return empty.drop("_seq", "_tomb")
         return self._scan(spark, hit, version)
 
+    def insert_strict(self, spark: SparkSession, source: DataFrame,
+                      keys: list[str], meta: dict | None = None,
+                      probe: DataFrame | None = None) -> int:
+        """INSERT with conflict-is-error semantics that hold under
+        CONCURRENT writers (reference krx/loader.py:146-158 — the DB
+        raises and the batch rolls back). A bare probe-then-append is
+        check-then-act: two writers probe the same head, both see no
+        conflict, both rebase-commit, duplicates land. Protocol here:
+
+        1. probe at head ``h``; conflict → raise, nothing written.
+        2. ``append(base_version=h)``. If our commit landed at ``h+1``
+           no writer interleaved — the probe verdict stands.
+        3. Otherwise re-probe against the interleaved state
+           (version ``ver-1``); on conflict, COMMIT A ROLLBACK that
+           drops exactly the files our append added (a snapshot store
+           can undo an append), then raise. A concurrent reader may
+           have seen the rolled-back rows in the interim — the
+           transient visibility any deferred-constraint check has.
+
+        ``probe``: plan used for the conflict probes (defaults to
+        ``source``). Callers whose source carries an ``Observation``
+        pass the unobserved twin — Spark 4 Observations break when the
+        observed plan feeds a join."""
+        probe = probe if probe is not None else source
+        pinned = None
+        lvl = probe.storageLevel
+        if not (lvl.useMemory or lvl.useDisk):
+            probe = probe.persist()
+            pinned = probe
+
+        def _conflicts(state: DataFrame | None) -> bool:
+            return state is not None and bool(
+                probe.join(state.select(*keys).distinct(), keys,
+                           "left_semi").limit(1).count())
+
+        try:
+            head = self.current_version() or 0
+            if _conflicts(self.read(spark, version=head) if head else None):
+                raise ValueError(
+                    f"INSERT conflict on {keys} into {self.name!r}")
+            ver = self.append(source, meta=meta, base_version=head)
+            if ver == head + 1:
+                return ver
+            if _conflicts(self.read(spark, version=ver - 1)):
+                ours = ({f["path"] for f in self._manifest(ver)["files"]}
+                        - {f["path"] for f in self._manifest(ver - 1)["files"]})
+                while True:
+                    cur = self.current_version()
+                    live = [f for f in self._live_files(cur)
+                            if f["path"] not in ours]
+                    try:
+                        self._commit(live, {"op": "insert_rollback"},
+                                     ver=(cur or 0) + 1)
+                        break
+                    except CommitConflict:
+                        continue
+                raise ValueError(
+                    f"INSERT conflict on {keys} into {self.name!r} "
+                    f"(concurrent writer; append rolled back)")
+            return ver
+        finally:
+            if pinned is not None:
+                pinned.unpersist()
+
     def append(self, df: DataFrame, meta: dict | None = None,
                base_version: int | None = None) -> int:
         """Append on top of ``base_version`` (default: current). A round

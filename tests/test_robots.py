@@ -132,8 +132,12 @@ def test_catalyst_allow_matches_scalar_fuzz(spark, crawl_cfg):
     from hyperion_crawler_spark.operators.politeness import with_robots
 
     rng = random.Random(42)
+    # includes RFC 9309 wildcard/anchor rules and regex metacharacters
+    # so the Catalyst regex branch is exercised, not just the prefix
+    # fast path (r5)
     segs = ["/a", "/b", "/private", "/private/open", "/private/open/x",
-            "/p", "/p/deep", "/x/y", "/", ""]
+            "/p", "/p/deep", "/x/y", "/*.pdf", "/p*deep", "/private$",
+            "/a.b", "/*/leaf$", "/", ""]
     rows, want = [], {}
     rules_rows = []
     for h in range(25):
@@ -159,3 +163,44 @@ def test_catalyst_allow_matches_scalar_fuzz(spark, crawl_cfg):
     got = {r["urlhash"]: r["robots_allowed"]
            for r in with_robots(frontier, rules, crawl_cfg).collect()}
     assert got == want
+
+
+def test_empty_agent_line_does_not_shadow_wildcard():
+    # malformed 'User-agent:' (empty value) must not become a
+    # matches-everyone specific group (r5 review finding)
+    dis, allow, delay = parse_robots_txt(
+        "User-agent:\nDisallow: /\n\nUser-agent: *\nDisallow: /private\n")
+    assert dis == ["/private"] and allow == []
+
+
+def test_repeated_groups_merge():
+    # RFC 9309 §2.2.1: multiple matching groups combine
+    dis, allow, delay = parse_robots_txt(
+        "User-agent: *\nDisallow: /a\nCrawl-delay: 1\n\n"
+        "User-agent: *\nDisallow: /b\nAllow: /b/ok\nCrawl-delay: 3\n")
+    assert sorted(dis) == ["/a", "/b"] and allow == ["/b/ok"]
+    assert delay == 3.0  # most conservative of the declared delays
+    # specific groups merge too, and still beat the fallback
+    dis2, _, _ = parse_robots_txt(
+        "User-agent: hyperion\nDisallow: /h1\n\n"
+        "User-agent: *\nDisallow: /star\n\n"
+        "User-agent: hyperion\nDisallow: /h2\n")
+    assert sorted(dis2) == ["/h1", "/h2"]
+
+
+def test_wildcard_and_anchor_rules():
+    # RFC 9309 §2.2.3: '*' spans any chars, trailing '$' anchors
+    assert not is_path_allowed("/x.pdf", ["/*.pdf"], [])
+    assert not is_path_allowed("/a/b/file.pdf", ["/*.pdf"], [])
+    assert is_path_allowed("/x.pdfs", ["/*.pdf$"], [])
+    assert not is_path_allowed("/x.pdf", ["/*.pdf$"], [])
+    assert not is_path_allowed("/private", ["/private$"], [])
+    assert is_path_allowed("/private/x", ["/private$"], [])
+    # precedence counts raw rule octets, wildcards included:
+    # '/*.pdf' is 6 octets vs allow '/a/' at 3 → disallow wins; a
+    # longer allow flips it
+    assert not is_path_allowed("/a/z.pdf", ["/*.pdf"], ["/a/"])
+    assert is_path_allowed("/a/z.pdf", ["/*.pdf"], ["/a/z.pdf"])
+    # regex metacharacters in rules stay literal
+    assert not is_path_allowed("/a.b/x", ["/a.b/"], [])
+    assert is_path_allowed("/aXb/x", ["/a.b/"], [])
