@@ -1199,7 +1199,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q04_consensus_histogram": """
             SELECT event_type,
-                   round(avg(event_id % 5 + 1), 2) AS avg_rating,
+                   floor(avg(event_id % 5 + 1) * 100.0 + 0.5) / 100.0 AS avg_rating,
                    count(*) AS n_ratings,
                    CAST(sum(CASE WHEN event_id % 5 + 1 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_rating_1,
                    CAST(sum(CASE WHEN event_id % 5 + 1 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rating_2,
@@ -1901,7 +1901,7 @@ def oracle_sql() -> dict[str, str]:
               FROM p)
             SELECT p_partkey,
                    unnest(regexp_extract_all(xml,
-                     '<loc>\\s*([^<\\s][^<]*?)\\s*</loc>', 1)) AS url
+                     '<loc>\\s*(?:<!\\[CDATA\\[)?\\s*([^<\\s][^<]*?)\\s*(?:\\]\\]>)?\\s*</loc>', 1)) AS url
             FROM x
         """,
         "q45_profile": """

@@ -41,11 +41,19 @@ def trading_value(price: Column, volume: Column) -> Column:
     return F.round(price * volume, 2)
 
 
-def normalize_market_cap(value: Column, unit_threshold: float = 1e8) -> Column:
+def normalize_market_cap(value: Column, unit_threshold: float = 1e8,
+                         unit_scale: float = 1e8) -> Column:
     """F5 — values below the unit threshold are in 억원-style units and
-    get scaled up. Ref: normalize_market_cap,
-    api/src/etl/base/transformer.py:156-169."""
-    return F.when(value < unit_threshold, value * unit_threshold).otherwise(value)
+    get scaled up by the FIXED unit conversion; falsy input (0 or NULL)
+    is NULL, the reference's ``if not value: return None`` contract
+    (same quirk as F8 normalize_target_price). Threshold and scale are
+    independent constants — the reference detects with < 1e8 and scales
+    by exactly 1e8 regardless (r5 review: the old single param
+    conflated them and 0 passed through as 0.0).
+    Ref: normalize_market_cap, api/src/etl/base/transformer.py:156-169."""
+    scaled = F.when(value < unit_threshold, value * unit_scale).otherwise(value)
+    return F.when(value.isNull() | (value == 0),
+                  F.lit(None).cast("double")).otherwise(scaled.cast("double"))
 
 
 def normalize_identifier(col: Column, id_type: str = "ticker") -> Column:
@@ -81,9 +89,15 @@ def weekend_roll(d: Column) -> Column:
 
 
 def parse_symbols(col: Column) -> Column:
-    """F11 — split CSV, trim, uppercase.
+    """F11 — split CSV, trim, uppercase. Falsy input (empty string or
+    NULL) yields an EMPTY array, the reference's
+    ``if not params.get('symbols'): return []`` — a bare split('')
+    would return [''] and leak an empty ticker downstream (r5 review).
     Ref: parse_symbols, api/src/etl/base/extractor.py:126-137."""
-    return F.transform(F.split(col, ","), lambda x: F.upper(F.trim(x)))
+    return F.when(col.isNull() | (col == ""),
+                  F.array().cast("array<string>")) \
+            .otherwise(F.transform(F.split(col, ","),
+                                   lambda x: F.upper(F.trim(x))))
 
 
 def task_id(source: str, suffix: str, round_col: Column) -> Column:

@@ -20,14 +20,23 @@ from pyspark.sql import functions as F
 
 def sitemap_urls_from_robots(txt: Column) -> Column:
     """Array of sitemap URLs declared in a robots.txt body
-    (``Sitemap: <url>`` lines, case-insensitive, one per line)."""
-    return F.regexp_extract_all(txt, F.lit(r"(?mi)^sitemap:\s*(\S+)"), 1)
+    (``Sitemap: <url>`` lines, case-insensitive, one per line).
+    Horizontal whitespace only after the colon: a newline-crossing
+    whitespace class would make a bare ``Sitemap:`` line capture the
+    first token of the NEXT line as a URL (r5 review); an empty-value
+    record is simply ignored."""
+    return F.regexp_extract_all(txt, F.lit(r"(?mi)^sitemap:[ \t]*(\S+)"), 1)
 
 
 def urls_from_sitemap_xml(xml: Column) -> Column:
     """Array of ``<loc>`` URLs from a sitemap XML body (whitespace
-    around the URL trimmed, per sitemaps.org)."""
-    return F.regexp_extract_all(xml, F.lit(r"<loc>\s*([^<\s][^<]*?)\s*</loc>"), 1)
+    around the URL trimmed, per sitemaps.org; CDATA-wrapped values —
+    a common real-world form — unwrap transparently). Mirrored 1:1 by
+    the q44 oracle SQL."""
+    return F.regexp_extract_all(
+        xml,
+        F.lit(r"<loc>\s*(?:<!\[CDATA\[)?\s*([^<\s][^<]*?)\s*(?:\]\]>)?\s*</loc>"),
+        1)
 
 
 def seeds_from_sitemap_xml(df: DataFrame, xml_col: str,
@@ -39,7 +48,13 @@ def seeds_from_sitemap_xml(df: DataFrame, xml_col: str,
     fixtures; a production mapping would join a manifest instead)."""
     url = F.explode(urls_from_sitemap_xml(F.col(xml_col))).alias("url")
     out = df.select(url)
-    return out.select(
-        "url",
-        F.regexp_extract("url", r"/([^/?#]+)(?:\?[^#]*)?$", 1).alias("image_id"),
-        F.lit(priority).alias("priority"))
+    # strip any fragment first, accept a trailing slash, and DROP rows
+    # whose URL has no path segment at all (bare host): an empty
+    # image_id joins nothing in the corpus but would still be marked
+    # seen forever, permanently poisoning the URL (r5 review)
+    base = F.regexp_replace(F.col("url"), r"#.*$", "")
+    path = F.regexp_extract(base, r"://[^/?#]+([^?#]*)", 1)
+    iid = F.regexp_extract(path, r"/([^/]+)/?$", 1)
+    return (out.select("url", iid.alias("image_id"),
+                       F.lit(priority).alias("priority"))
+            .filter(F.col("image_id") != ""))

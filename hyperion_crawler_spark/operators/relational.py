@@ -58,7 +58,12 @@ def consensus_histogram(df: DataFrame, key: str, rating: Column,
     Ref: calculate_consensus, api/src/etl/base/transformer.py:221-237."""
     r = rating.alias("_r")
     aggs = [
-        F.round(F.avg("_r"), 2).alias("avg_rating"),
+        # portable floor-round, NOT F.round: Spark HALF_UPs the
+        # shortest decimal repr while DuckDB rounds the raw double —
+        # an avg landing on a .005 boundary (e.g. 107/40 = 2.675)
+        # would flip the q04 value hash (r5 review; same rule as
+        # __spark_entry__._pround)
+        (F.floor(F.avg("_r") * 100.0 + F.lit(0.5)) / 100.0).alias("avg_rating"),
         F.count("_r").alias("n_ratings"),
     ] + [
         F.sum(F.when(F.col("_r") == v, 1).otherwise(0)).alias(f"n_rating_{v}")
@@ -93,7 +98,12 @@ def merge_upsert(target: DataFrame, source: DataFrame, keys: list[str]) -> DataF
     Ref: upsert_postgres ON CONFLICT DO UPDATE,
     api/src/etl/base/loader.py:144-186. The stateful variant lives in
     sources/tables.py:SnapshotTable.merge; this pure form feeds the
-    DuckDB oracle cross-check."""
+    DuckDB oracle cross-check.
+
+    PRECONDITION: ``source`` must be key-unique (run first_wins_dedup
+    first, as every engine caller does) — a duplicated source key would
+    otherwise insert multiple rows for one key, where SQL MERGE raises
+    and the reference's per-row loop makes the last row win."""
     survivors = target.join(source.select(*keys).distinct(), keys, "left_anti")
     return survivors.select(*target.columns).unionByName(source.select(*target.columns))
 
@@ -103,7 +113,8 @@ def update_only(target: DataFrame, source: DataFrame, keys: list[str]) -> DataFr
     source wins on key match, unmatched SOURCE rows are skipped (never
     inserted), unmatched target rows survive. The mode the reference
     enum declares ("업데이트만", api/src/etl/base/loader.py:18) but
-    never dispatches; the stateful form lives in ETLPipeline._load."""
+    never dispatches; the stateful form lives in ETLPipeline._load.
+    Same key-unique source precondition as merge_upsert."""
     matched = source.join(target.select(*keys).distinct(), keys, "left_semi")
     survivors = target.join(matched.select(*keys).distinct(), keys, "left_anti")
     return survivors.select(*target.columns).unionByName(matched.select(*target.columns))
@@ -113,8 +124,12 @@ def replace_partition(target: DataFrame, source: DataFrame, part_col: str,
                       part_values: list) -> DataFrame:
     """S7 — REPLACE: delete rows in the given partitions, insert source.
     Ref: _replace_data DELETE WHERE trade_date IN (...) then insert,
-    api/src/etl/krx/loader.py:163-176."""
-    kept = target.filter(~F.col(part_col).isin(part_values))
+    api/src/etl/krx/loader.py:163-176. NULL-partition rows are KEPT:
+    SQL ``DELETE WHERE col IN (...)`` never matches NULL, but the
+    naive ``~isin`` filter evaluates to NULL for them and silently
+    deleted all NULL-partition data (r5 review)."""
+    kept = target.filter(F.col(part_col).isNull()
+                         | ~F.col(part_col).isin(part_values))
     return kept.select(*target.columns).unionByName(source.select(*target.columns))
 
 

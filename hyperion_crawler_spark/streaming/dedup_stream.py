@@ -46,10 +46,15 @@ def _kernel(cfg: CrawlConfig):
                 continue
             hashes = pdf["urlhash"].to_numpy(np.int64)
             pos = bloom_positions_vec(hashes, m, k)
-            # sequential first-wins within the batch: a duplicate later
-            # in the same batch must also be dropped
+            # two-tier probe (r5 review; same shape as state/seen.py):
+            # the cross-history membership test is one vectorized fancy
+            # index over ALL rows; only rows that pass it — new URLs
+            # plus possible intra-batch duplicates — fall through to
+            # the sequential first-wins loop, which at crawl batch
+            # sizes is orders of magnitude smaller than the batch
             keep = np.zeros(len(pdf), dtype=bool)
-            for i in range(len(pdf)):
+            maybe_new = ~bits[pos.astype(np.int64)].all(axis=1)
+            for i in np.flatnonzero(maybe_new):
                 p = pos[i].astype(np.int64)
                 if not bits[p].all():
                     keep[i] = True

@@ -33,7 +33,14 @@ def windowed_event_counts(events: DataFrame, window: str = "1 hour",
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("win"), "event_type")
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .agg(F.count("*").alias("n"),
+             # integer-cents sum (same rule as operators/sessions.py):
+             # a raw double sum's value depends on partial-sum order,
+             # which differs between the incremental state store and
+             # the batch hash agg — a .005-boundary sum would round
+             # differently stream-vs-batch (r5 review)
+             (F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"))
+              / 100.0).alias("sum_value"))
         .select(F.col("win.start").alias("win_start"),
                 F.col("win.end").alias("win_end"), "event_type", "n", "sum_value")
     )
@@ -46,7 +53,9 @@ def sessionize(events: DataFrame, gap: str = "30 minutes",
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.session_window("ts", gap).alias("sess"), "user_id")
-        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .agg(F.count("*").alias("n_events"),
+             (F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"))
+              / 100.0).alias("sum_value"))  # cents: see windowed counts
         .select(F.col("sess.start").alias("sess_start"),
                 F.col("sess.end").alias("sess_end"), "user_id", "n_events", "sum_value")
     )

@@ -33,6 +33,11 @@ def test_normalize_market_cap(spark):
     # below threshold → scaled by 1e8 (억원 units, transformer.py:156-169)
     assert _one(spark, S.normalize_market_cap(F.lit(5.0))) == 5.0e8
     assert _one(spark, S.normalize_market_cap(F.lit(2.0e9))) == 2.0e9
+    # falsy contract: 0 and NULL → NULL (`if not value: return None`,
+    # same quirk family as F8 normalize_target_price)
+    assert _one(spark, S.normalize_market_cap(F.lit(0.0))) is None
+    assert _one(spark, S.normalize_market_cap(
+        F.lit(None).cast("double"))) is None
 
 
 def test_normalize_identifier(spark):
@@ -60,6 +65,9 @@ def test_weekend_roll(spark):
 def test_parse_symbols(spark):
     out = _one(spark, S.parse_symbols(F.lit(" aapl, msft ,tsla")))
     assert out == ["AAPL", "MSFT", "TSLA"]
+    # falsy contract: '' and NULL → [] (extractor.py:126-137), not ['']
+    assert _one(spark, S.parse_symbols(F.lit(""))) == []
+    assert _one(spark, S.parse_symbols(F.lit(None).cast("string"))) == []
 
 
 def test_task_id_deterministic(spark):

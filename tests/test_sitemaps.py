@@ -80,3 +80,39 @@ def test_profile_numeric_single_scan(spark):
     plan = prof._jdf.queryExecution().executedPlan().toString()
     final = plan.split("Initial Plan")[0]  # AQE prints final + initial trees
     assert final.count("Scan ") == 1
+
+
+def test_sitemap_robots_bare_line_and_cdata(spark):
+    """r5 review: a bare 'Sitemap:' line must not swallow the next
+    line's first token; CDATA-wrapped <loc> values unwrap; seeds drop
+    fragment/trailing-slash noise and bare hosts."""
+    from hyperion_crawler_spark.functions.sitemaps import (
+        seeds_from_sitemap_xml,
+        sitemap_urls_from_robots,
+        urls_from_sitemap_xml,
+    )
+
+    df = spark.createDataFrame(
+        [("Sitemap:\nUser-agent: *\nSitemap: https://h.ex/s.xml\n",)],
+        "txt string")
+    got = df.select(sitemap_urls_from_robots(F.col("txt")).alias("u")).first()["u"]
+    assert got == ["https://h.ex/s.xml"]
+
+    xml = ("<urlset><url><loc><![CDATA[https://h.ex/img_1]]></loc></url>"
+           "<url><loc> https://h.ex/img_2 </loc></url></urlset>")
+    xdf = spark.createDataFrame([(xml,)], "xml string")
+    urls = xdf.select(urls_from_sitemap_xml(F.col("xml")).alias("u")).first()["u"]
+    assert urls == ["https://h.ex/img_1", "https://h.ex/img_2"]
+
+    seed_xml = ("<urlset>"
+                "<url><loc>https://h.ex/img_3#frag</loc></url>"
+                "<url><loc>https://h.ex/dir/</loc></url>"
+                "<url><loc>https://h.ex</loc></url>"
+                "<url><loc>https://h.ex/img_4?v=2</loc></url>"
+                "</urlset>")
+    sdf = spark.createDataFrame([(seed_xml,)], "xml string")
+    seeds = {r["url"]: r["image_id"]
+             for r in seeds_from_sitemap_xml(sdf, "xml").collect()}
+    assert seeds == {"https://h.ex/img_3#frag": "img_3",
+                     "https://h.ex/dir/": "dir",
+                     "https://h.ex/img_4?v=2": "img_4"}  # bare host dropped
