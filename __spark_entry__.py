@@ -839,38 +839,72 @@ def q57b_pq_exact(spark, sf):
 
 
 def q56_token_freq(spark, sf):
-    """Corpus token-frequency head: top 50 tokens by count with a
-    deterministic (n DESC, token ASC) tie-break — the vocabulary/
-    frequency profile every corpus analysis starts with."""
+    """Corpus token-frequency head, TWO modes in one result (round-5
+    verdict 'Next round' #2 rides the slot):
+
+    - mode 'ws': top 50 whitespace tokens by count (the original
+      vocabulary/frequency profile), deterministic (n DESC, token ASC)
+      tie-break.
+    - mode 'bpe': top 30 SUBWORD tokens after training an 8-merge BPE
+      tokenizer on the corpus itself (functions/bpe.bpe_train — the
+      Sennrich '16 trainer as a DataFrame job: one corpus-scale
+      word-count shuffle, then one map-side-combinable pair-frequency
+      agg per merge round with a deterministic (count DESC, pair ASC)
+      tie-break, O(1) driver state). Token counts come from the
+      distinct-word frame (count = Σ word_freq × occurrences), which
+      is exactly the corpus encoding since training applies every
+      merge to all words. The DuckDB oracle unrolls the 8 training
+      rounds as CTEs (the q59 LMS precedent) — the merge table and
+      all derived counts are bit-deterministic in both engines."""
+    from hyperion_crawler_spark.functions import bpe as BPE
+
     d = _t(spark, sf, "documents")
-    return (d.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
-            .groupBy("token").agg(F.count("*").alias("n"))
-            .orderBy(F.col("n").desc(), F.col("token").asc()).limit(50))
+    ws = (d.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+          .groupBy("token").agg(F.count("*").alias("n"))
+          .orderBy(F.col("n").desc(), F.col("token").asc()).limit(50)
+          .select(F.lit("ws").alias("mode"), "token", "n"))
+    merges = BPE.bpe_train(d, "text", n_merges=8)
+    toks = BPE.word_counts(d, "text").select(
+        F.explode(BPE.encode_word(F.col("word"), merges)).alias("token"),
+        "freq")
+    bpe_top = (toks.groupBy("token").agg(F.sum("freq").alias("n"))
+               .orderBy(F.col("n").desc(), F.col("token").asc()).limit(30)
+               .select(F.lit("bpe").alias("mode"), "token", "n"))
+    return ws.unionByName(bpe_top)
 
 
 def q58_ivfpq(spark, sf):
-    """IVFADC (operators/similarity.ivfpq_topk — IVF coarse pruning ×
-    product-quantized residuals, the round-4 verdict's composition) in
-    exact mode: every cell probed, sample == corpus, one residual
+    """IVFADC (operators/similarity) in exact mode, on the DISTRIBUTED
+    query path — corpus-vs-corpus: the query set IS the corpus (the
+    SemDeDup self-dedup shape, round-5 verdict 'Next round' #1), so
+    nothing about the queries is ever collected to the driver
+    (contract pinned in tests/test_dedup_similarity.py) and the plan
+    is the one that holds when |queries| = |corpus| = 10^10: probe
+    assignment via a GEMM mapInPandas pass, candidates from a
+    cogrouped cell equi-join, ADC scoring per (cell, query-chunk)
+    against broadcast codebooks only.
+
+    Exact mode: every cell probed, sample == corpus, one residual
     centroid per sample sub-vector and zero Lloyd steps, so every
-    vector reconstructs exactly and the ADC candidate scan degenerates
-    to exact scoring. Candidates are taken with slack (k=10) and
-    RE-SCORED with the Catalyst cosine (same trick as the PQ exact
-    twin), so the 6-decimal values hash-match the plain SQL brute
-    force while the candidate set comes from the full IVFADC machinery
-    (coarse train → cell assign → residual encode → cid-pruned ADC
-    scan → partial top-k). Approximate-mode recall and the
+    vector reconstructs exactly and the ADC scan degenerates to exact
+    scoring. Candidates are taken with slack (k=10) and RE-SCORED with
+    the Catalyst cosine (same trick as the PQ exact twin), so the
+    6-decimal values hash-match the plain SQL brute force while the
+    candidate set comes from the full distributed IVFADC machinery
+    (coarse train → cell assign → residual encode → probe-assign →
+    cogrouped cell scan → per-cell partial top-k). Approximate-mode
+    recall, bit-equality with the collected path, and the
     probed-cells-only work bound are pinned in
     tests/test_dedup_similarity.py."""
     from pyspark.sql import Window
 
     e = _t(spark, sf, "embeddings").select("vec_id", "embedding")
     corpus = e.filter(F.col("vec_id") < 2000)
-    queries_df = corpus.filter(F.col("vec_id") % 100 == 0)
-    cand = SIM.ivfpq_topk(queries_df, corpus, dim=64, k=10, n_centroids=8,
-                          n_probe=8, m_blocks=8, k_codes=1_000_000,
-                          train_iters=0, coarse_iters=2,
-                          sample_cap=1_000_000)
+    cand = SIM.ivfpq_topk_distributed(
+        corpus, corpus, dim=64, k=10, n_centroids=8,
+        n_probe=8, m_blocks=8, k_codes=1_000_000,
+        train_iters=0, coarse_iters=2, sample_cap=1_000_000,
+        q_chunk=256)
     q = corpus.select(F.col("vec_id").alias("q_id"),
                       F.col("embedding").alias("q_vec"))
     n = corpus.select(F.col("vec_id").alias("n_id"),
@@ -1146,6 +1180,61 @@ _SQL_COS = ("round(list_dot_product(list_transform({a}, x -> CAST(x AS DOUBLE)),
             "list_transform({a}, x -> CAST(x AS DOUBLE)))) * "
             "sqrt(list_dot_product(list_transform({b}, x -> CAST(x AS DOUBLE)), "
             "list_transform({b}, x -> CAST(x AS DOUBLE))))), 6)")
+
+
+def _bpe_oracle_sql(n_merges: int) -> str:
+    """DuckDB mirror of q56's widened shape: the ws-mode top-50 plus
+    an UNROLLED 8-round BPE training loop (the q59 LMS precedent) over
+    the delimited-string symbol form (functions/bpe.py docstring —
+    replace of DaDDbD with DabD IS the greedy left-to-right merge).
+    Per round: pair counts from the current word frame, argmax with
+    the (count DESC, a ASC, b ASC) tie-break, one string replace. If a
+    round finds no pair (fully fused corpus) the coalesce turns the
+    replace into a no-op, matching the trainer's early break."""
+    d31 = "chr(31)"
+    dd = f"{d31}||{d31}"
+    ctes = [f"""
+        w0 AS MATERIALIZED (
+          SELECT regexp_replace(regexp_replace(word, chr(31), '', 'g'),
+                                '(.)', {d31}||'\\1'||{d31}, 'g') AS s,
+                 CAST(count(*) AS BIGINT) AS freq
+          FROM (SELECT unnest(string_split_regex(text, '\\s+')) AS word
+                FROM documents)
+          WHERE word <> '' GROUP BY word)"""]
+    for k in range(1, n_merges + 1):
+        p = f"""
+        p{k} AS MATERIALIZED (
+          SELECT l[i] AS a, l[i+1] AS b, CAST(sum(freq) AS BIGINT) AS cnt
+          FROM (SELECT string_split(trim(s, chr(31)), {dd}) AS l, freq
+                FROM w{k-1}) ww,
+               LATERAL unnest(generate_series(1, len(l) - 1)) AS t(i)
+          GROUP BY 1, 2),
+        m{k} AS MATERIALIZED (SELECT a, b FROM p{k}
+                 ORDER BY cnt DESC, a ASC, b ASC LIMIT 1),
+        w{k} AS MATERIALIZED (
+          SELECT replace(s,
+            coalesce((SELECT {d31}||a||{dd}||b||{d31} FROM m{k}), chr(30)),
+            coalesce((SELECT {d31}||a||b||{d31} FROM m{k}), chr(30))) AS s,
+            freq
+          FROM w{k-1})"""
+        ctes.append(p)
+    return f"""
+        WITH {','.join(ctes)},
+        bpe AS (
+          SELECT token, CAST(sum(freq) AS BIGINT) AS n
+          FROM (SELECT unnest(string_split(trim(s, chr(31)), {dd})) AS token,
+                       freq
+                FROM w{n_merges})
+          GROUP BY token ORDER BY n DESC, token ASC LIMIT 30),
+        ws AS (
+          SELECT token, CAST(count(*) AS BIGINT) AS n
+          FROM (SELECT unnest(string_split(text, ' ')) AS token
+                FROM documents)
+          GROUP BY token ORDER BY n DESC, token ASC LIMIT 50)
+        SELECT 'ws' AS mode, token, n FROM ws
+        UNION ALL
+        SELECT 'bpe' AS mode, token, n FROM bpe
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1514,12 +1603,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(t) - len(k) AS INTEGER) AS n_scrubbed
             FROM kp
         """,
-        "q56_token_freq": """
-            SELECT token, CAST(count(*) AS BIGINT) AS n
-            FROM (SELECT unnest(string_split(text, ' ')) AS token
-                  FROM documents)
-            GROUP BY token ORDER BY n DESC, token ASC LIMIT 50
-        """,
+        "q56_token_freq": _bpe_oracle_sql(8),
         "q25_set_ops": """
             WITH a AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 2 = 0),
                  b AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 3 = 0)
@@ -1671,16 +1755,17 @@ def oracle_sql() -> dict[str, str]:
               FROM scored)
             SELECT q_id, n_id, cos, rank FROM ranked WHERE rank <= 5
         """,
-        # q58: IVFADC in exact mode degenerates to exact cosine top-k
-        # (all cells probed + perfect reconstruction + Catalyst
-        # re-score), so the oracle is the same brute force as
-        # q35b/q57b over the identical corpus/query slices
+        # q58: distributed IVFADC in exact mode degenerates to exact
+        # cosine top-k (all cells probed + perfect reconstruction +
+        # Catalyst re-score), so the oracle is the plain brute force —
+        # corpus-vs-corpus: the query set IS the corpus (SemDeDup
+        # self-dedup shape)
         "q58_ivfpq": f"""
             WITH c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 2000),
             scored AS (
               SELECT q.vec_id AS q_id, t.vec_id AS n_id,
                      {_SQL_COS.format(a='q.embedding', b='t.embedding')} AS cos
-              FROM (SELECT * FROM c WHERE vec_id % 100 = 0) q
+              FROM c q
               CROSS JOIN c t
               WHERE q.vec_id != t.vec_id),
             ranked AS (

