@@ -63,6 +63,8 @@ CRAWL_BENCH_URLS = int(os.environ.get("BENCH_CRAWL_URLS", 2_000_000))
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    with open("/proc/loadavg") as fh:       # BEFORE our own JVM spins up:
+        load_start = [float(x) for x in fh.read().split()[:3]]  # tenant load
     spark = get_spark(app="hyperion-bench")
 
     import __spark_entry__ as E
@@ -77,9 +79,13 @@ def main() -> None:
     for name in BENCH_QUERIES:
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
     for name in BENCH_QUERIES:
-        df = qs[name](spark, sf_dir)
+        # plan construction is INSIDE the timed window: queries with
+        # driver-side training loops (q56's BPE merges, q59's LMS
+        # weights) do real cluster work at build time, and excluding
+        # it would under-report them (r6 methodology change — q56/q59
+        # are not comparable to earlier rounds' build-excluded times)
         t0 = time.perf_counter()
-        df.write.format("noop").mode("overwrite").save()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         times[name] = round(time.perf_counter() - t0, 3)
 
     # one small untimed pass first: whole-stage codegen compilation and
@@ -94,17 +100,54 @@ def main() -> None:
         c = run_scheduling_round(spark, CRAWL_BENCH_URLS)
         crawl = c if crawl is None or c["sec"] < crawl["sec"] else crawl
     times["crawl_sched_round"] = round(crawl["sec"], 3)
-    full = run_full_round(spark, int(os.environ.get("BENCH_FULL_ROUND_URLS", 100_000)))
+    # full round: best-of-2 with each run disclosed — a single run is
+    # writable by the neighbors on this shared host (round-5 verdict
+    # 'Next round' #5: BENCH_r05's 17.93 s read as a 29% regression
+    # until an idle-host rerun measured 12.02 s)
+    full_urls = int(os.environ.get("BENCH_FULL_ROUND_URLS", 100_000))
+    full_runs = []
+    full = None
+    for _ in range(2):
+        fr = run_full_round(spark, full_urls)
+        full_runs.append(round(fr["sec"], 3))
+        full = fr if full is None or fr["sec"] < full["sec"] else full
     times["crawl_full_round"] = round(full["sec"], 3)
 
+    # end-to-end curation chain at the bench sf (round-5 verdict
+    # 'Next round' #6) — dedup → cluster → mix → BPE-train → pack,
+    # per-stage wall times carried in the JSON
+    import shutil
+    import tempfile
+
+    from scripts.run_curate import curate
+
+    cur_out = tempfile.mkdtemp(prefix="bench_curate_")
+    try:
+        t0 = time.perf_counter()
+        cur_stats = curate(
+            spark, spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "source", "text"),
+            cur_out, window=1024, alpha=0.5, target_fraction=0.5,
+            bpe_merges=16)
+        cur_stats["sec"] = round(time.perf_counter() - t0, 3)
+    finally:
+        shutil.rmtree(cur_out, ignore_errors=True)
+    times["curate_chain"] = cur_stats["sec"]
+
     total = round(sum(times.values()), 3)
+    with open("/proc/loadavg") as fh:       # includes our own work by design
+        load_end = [float(x) for x in fh.read().split()[:3]]
     print(json.dumps({
         "metric": "crawl_sched_round_plus_headline_queries",
         "value": total,
         "unit": "sec",
         "queries": times,
         "sf": sf,
+        "loadavg_start": load_start,     # tenant load before our JVM
+        "loadavg_end": load_end,         # start + our own 32 threads
+        "curate": cur_stats,
         "crawl": {
+            "full_round_runs": full_runs,
             "n_input_urls": crawl["n_input"],
             "n_scheduled": crawl["n_scheduled"],
             "urls_scheduled_per_sec": round(crawl["urls_per_sec"]),
@@ -116,7 +159,12 @@ def main() -> None:
             "methodology": "headline queries: one untimed warm-up pass then "
                            "one timed run (codegen compile excluded); sched "
                            "round: 200k warm-up pass then best of 2; full "
-                           "round: single run in the warmed JVM",
+                           "round: best of 2 in the warmed JVM, per-run "
+                           "times in full_round_runs; loadavg sampled at "
+                           "report time so a tenant-load-poisoned run is "
+                           "self-diagnosing; curate: single run (chain is "
+                           "dominated by fixed small-stage latency at this "
+                           "sf), per-stage seconds in curate.timings",
         },
     }))
     spark.stop()

@@ -74,48 +74,42 @@ def bpe_train(df: DataFrame, text_col: str, n_merges: int = 64
     Per round: pairs are ``arrays_zip(slice(syms,1,n-1),
     slice(syms,2,n-1))`` exploded (generator evaluates the array once
     per row — no HOF re-inline hazard), summed by (a, b) with word
-    frequency as weight, and the argmax collected as ONE row. The
-    words frame is persisted per round and the previous round's handle
-    released only after the next aggregation materialized its
-    successor (lineage stays O(1) deep; plan never grows)."""
+    frequency as weight, and the argmax collected as ONE row. Each
+    round's words frame is ``localCheckpoint``ed (eager — the round's
+    aggregation materializes it anyway): persist alone caches DATA but
+    leaves the LOGICAL plan nested one level per round, and driver-side
+    plan processing on the nested InMemoryRelations measured ~2× cost
+    PER ROUND from round ~10 (0.5 s → 11 s by round 14 on sf0.1) —
+    the same iterative-plan blowup dup_clusters hit; checkpointing
+    flattens each round to a LogicalRDD so round cost stays constant."""
     wc = word_counts(df, text_col).select(
         _delim_word(F.col("word")).alias("_s"), "freq")
     merges: list[tuple[str, str]] = []
-    cur = wc.persist()
-    prev = None
-    try:
-        for _ in range(n_merges):
-            a = F.col("_a")
-            n = F.size(a)
-            pairs_arr = F.arrays_zip(
-                F.slice(a, 1, n - 1).alias("a"),
-                F.slice(a, 2, n - 1).alias("b"))
-            best = (cur.select("freq", _seq(F.col("_s")).alias("_a"))
-                    .select("freq", F.explode(pairs_arr).alias("_p"))
-                    .groupBy(F.col("_p.a").alias("a"),
-                             F.col("_p.b").alias("b"))
-                    .agg(F.sum("freq").alias("cnt"))
-                    .select(F.min(F.struct(
-                        (-F.col("cnt")).alias("nc"),
-                        F.col("a"), F.col("b"))).alias("m"))
-                    ).collect()[0]["m"]
-            if prev is not None:        # cur is materialized now
-                prev.unpersist()
-                prev = None
-            if best is None:            # no pairs anywhere: done
-                break
-            left, right = best["a"], best["b"]
-            merges.append((left, right))
-            nxt = cur.select(
-                F.replace(F.col("_s"),
-                          F.lit(D + left + DD + right + D),
-                          F.lit(D + left + right + D)).alias("_s"),
-                "freq").persist()
-            prev, cur = cur, nxt
-    finally:
-        cur.unpersist()
-        if prev is not None:
-            prev.unpersist()
+    cur = wc.localCheckpoint()          # flat plan, upstream runs once
+    for _ in range(n_merges):
+        a = F.col("_a")
+        n = F.size(a)
+        pairs_arr = F.arrays_zip(
+            F.slice(a, 1, n - 1).alias("a"),
+            F.slice(a, 2, n - 1).alias("b"))
+        best = (cur.select("freq", _seq(F.col("_s")).alias("_a"))
+                .select("freq", F.explode(pairs_arr).alias("_p"))
+                .groupBy(F.col("_p.a").alias("a"),
+                         F.col("_p.b").alias("b"))
+                .agg(F.sum("freq").alias("cnt"))
+                .select(F.min(F.struct(
+                    (-F.col("cnt")).alias("nc"),
+                    F.col("a"), F.col("b"))).alias("m"))
+                ).collect()[0]["m"]
+        if best is None:                # no pairs anywhere: done
+            break
+        left, right = best["a"], best["b"]
+        merges.append((left, right))
+        cur = cur.select(
+            F.replace(F.col("_s"),
+                      F.lit(D + left + DD + right + D),
+                      F.lit(D + left + right + D)).alias("_s"),
+            "freq").localCheckpoint()
     return merges
 
 

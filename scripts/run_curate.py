@@ -35,19 +35,45 @@ from pyspark.sql import functions as F  # noqa: E402
 def curate(spark: SparkSession, docs: DataFrame, out_dir: str,
            window: int = 1024, benchmark: DataFrame | None = None,
            min_quality: float = 0.0, alpha: float = 0.5,
-           target_fraction: float = 1.0, n_buckets: int = 0) -> dict:
-    """Run the curation chain; returns the per-stage stats dict."""
+           target_fraction: float = 1.0, n_buckets: int = 0,
+           bpe_merges: int = 0) -> dict:
+    """Run the curation chain; returns the per-stage stats dict
+    (counts + per-stage wall seconds under ``"timings"`` — each stage
+    materializes at its count, so the delta around it is that stage's
+    cost; bench.py tracks these round-over-round).
+
+    ``bpe_merges`` > 0 switches token accounting from whitespace
+    counts to REAL subword counts: a BPE tokenizer is trained on the
+    post-mix corpus (functions/bpe.bpe_train) and the packing windows
+    fill by BPE token length — the unit a training-data budget is
+    actually denominated in. The merge table is written to
+    ``<out>/bpe_merges.parquet`` so downstream consumers tokenize
+    identically."""
+    import time as _time
+
     from hyperion_crawler_spark.functions.text import (
         quality_score, redact_pii, token_count)
+    from hyperion_crawler_spark.functions import bpe as B
     from hyperion_crawler_spark.operators import dedup as DD
     from hyperion_crawler_spark.operators.packing import pack_sequences
     from hyperion_crawler_spark.operators.selection import temperature_mix
 
+    timings: dict = {}
+    t0 = _time.perf_counter()
+
+    def _lap(stage: str) -> None:
+        nonlocal t0
+        t1 = _time.perf_counter()
+        timings[stage] = round(t1 - t0, 3)
+        t0 = t1
+
     stats: dict = {"input": docs.count()}
+    _lap("input")
 
     # 1. exact dedup (first-wins on content hash)
     cur = DD.exact_dedup(docs, "doc_id", "text")
     stats["exact_dedup"] = cur.count()
+    _lap("exact_dedup")
 
     # 2. near-dup: LSH pairs → connected components → keep one per
     # cluster (representative = min doc_id, the operator contract)
@@ -59,17 +85,20 @@ def curate(spark: SparkSession, docs: DataFrame, out_dir: str,
     stats["near_dedup"] = cur.count()
     for h in handles:
         h.unpersist()
+    _lap("near_dedup")
 
     # 3. benchmark decontamination (8-gram overlap rule)
     if benchmark is not None:
         cur = DD.decontaminate(cur, benchmark, "doc_id", "text", n=8)
         cur = cur.persist()
         stats["decontaminate"] = cur.count()
+        _lap("decontaminate")
 
     # 4. heuristic quality floor
     if min_quality > 0.0:
         cur = cur.filter(quality_score(F.col("text")) >= min_quality)
         stats["quality"] = cur.count()
+        _lap("quality")
 
     # 5. PII scrub (text rewritten in place)
     cur = cur.withColumn("text", redact_pii(F.col("text")))
@@ -83,8 +112,18 @@ def curate(spark: SparkSession, docs: DataFrame, out_dir: str,
     if target_fraction < 1.0 or alpha != 1.0:
         cur = temperature_mix(cur, "source", "doc_id", alpha=alpha,
                               target_fraction=target_fraction)
-    cur = cur.withColumn("n_tok", token_count(F.col("text"))).persist()
+    if bpe_merges > 0:
+        merges = B.bpe_train(cur, "text", n_merges=bpe_merges)
+        stats["bpe_merges"] = len(merges)
+        B.merges_df(spark, merges).write.mode("overwrite").parquet(
+            os.path.join(out_dir, "bpe_merges.parquet"))
+        n_tok = B.bpe_token_count(F.col("text"), merges)
+        _lap("bpe_train")
+    else:
+        n_tok = token_count(F.col("text"))
+    cur = cur.withColumn("n_tok", n_tok).persist()
     stats["mixed"] = cur.count()
+    _lap("mix_tokenize")
 
     # 7. pack into fixed token windows. Bucket count scales with the
     # corpus: each FFD bucket leaves at most one under-filled tail bin,
@@ -102,11 +141,14 @@ def curate(spark: SparkSession, docs: DataFrame, out_dir: str,
     stats["packs"] = packs.count()
     stats["pack_fill_frac"] = round(
         packs.agg(F.sum("fill")).first()[0] / (window * stats["packs"]), 4)
+    _lap("pack")
 
     cur.write.mode("overwrite").parquet(os.path.join(out_dir, "documents.parquet"))
     packs.write.mode("overwrite").parquet(os.path.join(out_dir, "packs.parquet"))
     cur.unpersist()
     packs.unpersist()
+    _lap("write")
+    stats["timings"] = timings
     return stats
 
 
@@ -121,6 +163,9 @@ def main() -> None:
     ap.add_argument("--min-quality", type=float, default=0.0)
     ap.add_argument("--alpha", type=float, default=0.5)
     ap.add_argument("--target-frac", type=float, default=1.0)
+    ap.add_argument("--bpe-merges", type=int, default=0,
+                    help="train a BPE tokenizer with this many merges and "
+                         "pack by subword token counts (0 = whitespace)")
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
 
@@ -130,7 +175,8 @@ def main() -> None:
         if args.benchmark else None
     stats = curate(spark, docs, args.out, window=args.window,
                    benchmark=bench, min_quality=args.min_quality,
-                   alpha=args.alpha, target_fraction=args.target_frac)
+                   alpha=args.alpha, target_fraction=args.target_frac,
+                   bpe_merges=args.bpe_merges)
     print(json.dumps({"event": "curate", "out": args.out, **stats}))
     spark.stop()
 

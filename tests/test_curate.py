@@ -68,9 +68,43 @@ def test_curate_deterministic(spark, tmp_path):
     docs = _fixture(spark)
     s1 = curate(spark, docs, str(tmp_path / "a"), window=256)
     s2 = curate(spark, docs.repartition(13), str(tmp_path / "b"), window=256)
+    s1.pop("timings"), s2.pop("timings")       # wall clock, not semantics
     assert s1 == s2
     a = {r["doc_id"] for r in
          spark.read.parquet(str(tmp_path / "a" / "documents.parquet")).collect()}
     b = {r["doc_id"] for r in
          spark.read.parquet(str(tmp_path / "b" / "documents.parquet")).collect()}
     assert a == b
+
+
+def test_curate_bpe_token_accounting(spark, tmp_path):
+    """--bpe-merges switches packing to subword counts: the merge
+    table is persisted, n_tok equals functions/bpe's count for the
+    persisted merges, packs fill by it, and the whole chain stays
+    deterministic across partitionings."""
+    from hyperion_crawler_spark.functions import bpe as B
+
+    docs = _fixture(spark)
+    out = str(tmp_path / "bpe")
+    stats = curate(spark, docs, out, window=256, bpe_merges=12)
+    assert stats["bpe_merges"] == 12
+    assert "bpe_train" in stats["timings"]
+
+    merges_rows = sorted(
+        (r["step"], r["left"], r["right"]) for r in
+        spark.read.parquet(os.path.join(out, "bpe_merges.parquet")).collect())
+    merges = [(a, b) for _s, a, b in merges_rows]
+    cur = spark.read.parquet(os.path.join(out, "documents.parquet"))
+    chk = cur.withColumn(
+        "_n2", B.bpe_token_count(F.col("text"), merges))
+    assert chk.filter(F.col("n_tok") != F.col("_n2")).count() == 0
+    # subword counts exceed whitespace counts (chars start unmerged)
+    from hyperion_crawler_spark.functions.text import token_count
+    assert chk.filter(F.col("n_tok") <
+                      token_count(F.col("text"))).count() == 0
+
+    s2 = curate(spark, docs.repartition(7), str(tmp_path / "bpe2"),
+                window=256, bpe_merges=12)
+    for s in (stats, s2):
+        s.pop("timings")
+    assert stats == s2
