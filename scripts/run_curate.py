@@ -36,7 +36,8 @@ def curate(spark: SparkSession, docs: DataFrame, out_dir: str,
            window: int = 1024, benchmark: DataFrame | None = None,
            min_quality: float = 0.0, alpha: float = 0.5,
            target_fraction: float = 1.0, n_buckets: int = 0,
-           bpe_merges: int = 0) -> dict:
+           bpe_merges: int = 0, embeddings: DataFrame | None = None,
+           semantic_threshold: float = 0.97) -> dict:
     """Run the curation chain; returns the per-stage stats dict
     (counts + per-stage wall seconds under ``"timings"`` — each stage
     materializes at its count, so the delta around it is that stage's
@@ -48,7 +49,15 @@ def curate(spark: SparkSession, docs: DataFrame, out_dir: str,
     fill by BPE token length — the unit a training-data budget is
     actually denominated in. The merge table is written to
     ``<out>/bpe_merges.parquet`` so downstream consumers tokenize
-    identically."""
+    identically.
+
+    ``embeddings`` (doc_id, embedding) adds a SEMANTIC dedup stage
+    (Abbas et al. '23 SemDeDup) after the lexical one: documents whose
+    embedding cosine ≥ ``semantic_threshold`` cluster together and the
+    min-id representative survives. Runs on the fully distributed
+    IVFADC self-pair path (similarity.ivfpq_self_pairs) — the query
+    set is the corpus itself and never touches the driver, so the
+    stage holds at 10^10 rows."""
     import time as _time
 
     from hyperion_crawler_spark.functions.text import (
@@ -86,6 +95,22 @@ def curate(spark: SparkSession, docs: DataFrame, out_dir: str,
     for h in handles:
         h.unpersist()
     _lap("near_dedup")
+
+    # 2b. semantic dedup over embeddings (SemDeDup)
+    if embeddings is not None:
+        from hyperion_crawler_spark.operators import similarity as SIM
+
+        embs = embeddings.join(cur.select("doc_id"), "doc_id", "left_semi") \
+            .select(F.col("doc_id").alias("vec_id"), "embedding")
+        dim = len(embs.select("embedding").head()["embedding"])
+        spairs = SIM.ivfpq_self_pairs(
+            embs, dim=dim, threshold=semantic_threshold, k=5,
+            n_centroids=16, n_probe=4, m_blocks=8)
+        slabels = DD.dup_clusters(spairs)
+        cur = DD.keep_cluster_representatives(cur, "doc_id", slabels)
+        cur = cur.persist()
+        stats["semantic_dedup"] = cur.count()
+        _lap("semantic_dedup")
 
     # 3. benchmark decontamination (8-gram overlap rule)
     if benchmark is not None:
@@ -166,6 +191,11 @@ def main() -> None:
     ap.add_argument("--bpe-merges", type=int, default=0,
                     help="train a BPE tokenizer with this many merges and "
                          "pack by subword token counts (0 = whitespace)")
+    ap.add_argument("--embeddings",
+                    help="optional embeddings parquet (vec_id, embedding) "
+                         "keyed by doc_id — enables the SemDeDup semantic "
+                         "dedup stage on the distributed IVFADC path")
+    ap.add_argument("--semantic-threshold", type=float, default=0.97)
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
 
@@ -173,10 +203,14 @@ def main() -> None:
     docs = spark.read.parquet(args.docs).select("doc_id", "source", "text")
     bench = spark.read.parquet(args.benchmark).select("text") \
         if args.benchmark else None
+    embs = (spark.read.parquet(args.embeddings)
+            .select(F.col("vec_id").alias("doc_id"), "embedding")
+            if args.embeddings else None)
     stats = curate(spark, docs, args.out, window=args.window,
                    benchmark=bench, min_quality=args.min_quality,
                    alpha=args.alpha, target_fraction=args.target_frac,
-                   bpe_merges=args.bpe_merges)
+                   bpe_merges=args.bpe_merges, embeddings=embs,
+                   semantic_threshold=args.semantic_threshold)
     print(json.dumps({"event": "curate", "out": args.out, **stats}))
     spark.stop()
 

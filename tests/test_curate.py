@@ -108,3 +108,38 @@ def test_curate_bpe_token_accounting(spark, tmp_path):
     for s in (stats, s2):
         s.pop("timings")
     assert stats == s2
+
+
+def test_curate_semantic_dedup_stage(spark, tmp_path):
+    """--embeddings adds the SemDeDup stage on the distributed IVFADC
+    path: docs whose embeddings are near-identical (cos ≈ 1) collapse
+    to the min-id representative even when their TEXTS share nothing
+    (lexical dedup can't see them); unrelated docs survive."""
+    import numpy as np
+
+    docs = _fixture(spark)
+    rng = np.random.default_rng(3)
+    ids = [r["doc_id"] for r in docs.select("doc_id").collect()]
+    vecs = {i: rng.normal(size=16).tolist() for i in ids}
+    vecs[7] = [x * 1.001 for x in vecs[5]]     # semantic twin of doc 5
+    vecs[9] = [x * 0.999 for x in vecs[5]]     # and a third copy
+    embs = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vecs.items()],
+        "doc_id long, embedding array<float>")
+
+    out = str(tmp_path / "sem")
+    stats = curate(spark, docs, out, window=256, alpha=1.0,
+                   embeddings=embs, semantic_threshold=0.999)
+    assert stats["semantic_dedup"] == stats["near_dedup"] - 2   # 7 and 9
+    kept = {r["doc_id"] for r in spark.read.parquet(
+        os.path.join(out, "documents.parquet")).collect()}
+    assert 5 in kept and 7 not in kept and 9 not in kept
+    assert 8 in kept                              # unrelated doc untouched
+
+    # deterministic across partitionings, stats identical
+    s2 = curate(spark, docs.repartition(11), str(tmp_path / "sem2"),
+                window=256, alpha=1.0, embeddings=embs.repartition(5),
+                semantic_threshold=0.999)
+    for s in (stats, s2):
+        s.pop("timings")
+    assert stats == s2
