@@ -76,17 +76,23 @@ def main() -> None:
     # for the identical plan); the 100 TB design point cares about
     # steady-state throughput. Same disclosed policy as the crawl
     # warm-up below.
+    build_times: dict[str, float] = {}
     for name in BENCH_QUERIES:
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
     for name in BENCH_QUERIES:
-        # plan construction is INSIDE the timed window: queries with
-        # driver-side training loops (q56's BPE merges, q59's LMS
-        # weights) do real cluster work at build time, and excluding
-        # it would under-report them (r6 methodology change — q56/q59
-        # are not comparable to earlier rounds' build-excluded times)
+        # plan construction is timed SEPARATELY (build_sec): queries
+        # with driver-side training loops (q56's BPE merges, q59's LMS
+        # weights) do real cluster work at build time that a
+        # write-only timer misses, but folding it into the query time
+        # adds ~1.5 s of driver plan/analysis overhead to EVERY entry
+        # and breaks round-over-round comparability — so `queries`
+        # stays execution-only and `build_sec` carries the rest.
         t0 = time.perf_counter()
-        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        times[name] = round(time.perf_counter() - t0, 3)
+        df = qs[name](spark, sf_dir)
+        t1 = time.perf_counter()
+        build_times[name] = round(t1 - t0, 3)
+        df.write.format("noop").mode("overwrite").save()
+        times[name] = round(time.perf_counter() - t1, 3)
 
     # one small untimed pass first: whole-stage codegen compilation and
     # JIT warm-up otherwise dominate a single cold-JVM measurement
@@ -145,6 +151,7 @@ def main() -> None:
         "sf": sf,
         "loadavg_start": load_start,     # tenant load before our JVM
         "loadavg_end": load_end,         # start + our own 32 threads
+        "build_sec": build_times,        # plan-build incl. driver-side training
         "curate": cur_stats,
         "crawl": {
             "full_round_runs": full_runs,
@@ -157,7 +164,9 @@ def main() -> None:
             "full_round_urls_per_sec": round(full["urls_per_sec"]),
             "full_round_timing": full.get("timing", {}),
             "methodology": "headline queries: one untimed warm-up pass then "
-                           "one timed run (codegen compile excluded); sched "
+                           "one timed run (codegen compile excluded; "
+                           "plan-build + driver-side training reported "
+                           "separately in build_sec); sched "
                            "round: 200k warm-up pass then best of 2; full "
                            "round: best of 2 in the warmed JVM, per-run "
                            "times in full_round_runs; loadavg sampled at "

@@ -841,7 +841,13 @@ def ivfpq_topk_distributed(queries: DataFrame, corpus: DataFrame | None = None,
     train_iters=0) degenerates to exact cosine like the collected path;
     equality and the no-query-collect contract are pinned in
     tests/test_dedup_similarity.py. No query cap: nothing about the
-    query set ever reaches the driver."""
+    query set ever reaches the driver.
+
+    Reference analog: the reference's dedup loop is corpus-vs-itself
+    (/root/reference/api/src/etl/base/loader.py:188-209 — every
+    incoming batch probed against the full stored set), which is
+    exactly the |queries| = |corpus| shape the collected path's
+    broadcast cap ruled out."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T

@@ -137,8 +137,18 @@ Reproduce: `python scripts/scaling_bench.py --urls {args.urls} \\
   --small {args.small} --large {args.large}`
 """
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
-        f.write(md)
+    path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    # REPLACE only the scaling section; every narrative section below
+    # the first '## Seen-state' heading is maintained by hand across
+    # rounds and must survive a scaling rerun (an r6 rerun wiped them)
+    tail = ""
+    if os.path.exists(path):
+        old = open(path).read()
+        cut = old.find("## Seen-state")
+        if cut != -1:
+            tail = "\n\n" + old[cut:]
+    with open(path, "w") as f:
+        f.write(md.rstrip() + "\n" + tail)
 
 
 if __name__ == "__main__":
