@@ -1198,7 +1198,7 @@ def _bpe_oracle_sql(n_merges: int) -> str:
           SELECT regexp_replace(regexp_replace(word, chr(31), '', 'g'),
                                 '(.)', {d31}||'\\1'||{d31}, 'g') AS s,
                  CAST(count(*) AS BIGINT) AS freq
-          FROM (SELECT unnest(string_split_regex(text, '\\s+')) AS word
+          FROM (SELECT unnest(string_split_regex(text, '[ \\t\\n\\x0B\\f\\r]+')) AS word
                 FROM documents)
           WHERE word <> '' GROUP BY word)"""]
     for k in range(1, n_merges + 1):

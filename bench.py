@@ -138,7 +138,9 @@ def main() -> None:
         cur_stats["sec"] = round(time.perf_counter() - t0, 3)
     finally:
         shutil.rmtree(cur_out, ignore_errors=True)
-    times["curate_chain"] = cur_stats["sec"]
+    # NOT folded into `value`: the summed headline must stay
+    # round-over-round comparable (metric unchanged since r1); the
+    # chain's time lives in the dedicated `curate` section
 
     total = round(sum(times.values()), 3)
     with open("/proc/loadavg") as fh:       # includes our own work by design

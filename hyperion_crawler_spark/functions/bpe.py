@@ -42,6 +42,12 @@ from pyspark.sql import Column, DataFrame, functions as F
 D = "\x1f"          # symbol delimiter (ASCII unit separator)
 DD = D + D
 
+# Explicit whitespace class, IDENTICAL in Java regex (Spark) and RE2
+# (DuckDB oracles): Java's \s includes \x0B but RE2's does not, so a
+# bare \s+ tokenizes 'foo\x0Bbar' differently across engines and the
+# merge tables diverge (review r6). Java \s == this class exactly.
+WS = r"[ \t\n\x0B\f\r]+"
+
 
 def _delim_word(word: Column) -> Column:
     """word → its initial character-level delimited form ``DcDDcD…``.
@@ -60,7 +66,7 @@ def _seq(delimited: Column) -> Column:
 def word_counts(df: DataFrame, text_col: str) -> DataFrame:
     """(word, freq) over the corpus — the single corpus-scale shuffle
     of the whole trainer (map-side-combinable hash agg on the word)."""
-    w = F.explode(F.split(F.col(text_col), r"\s+")).alias("word")
+    w = F.explode(F.split(F.col(text_col), WS)).alias("word")
     return (df.select(w).filter(F.col("word") != "")
             .groupBy("word").agg(F.count(F.lit(1)).alias("freq")))
 
@@ -133,7 +139,7 @@ def bpe_tokens(text: Column, merges: list[tuple[str, str]]) -> Column:
     array<string>. The merge chain sits inside a transform lambda, so
     it runs once per WORD (single-reference chain — no HOF-CSE
     blowup)."""
-    words = F.filter(F.split(text, r"\s+"), lambda w: w != F.lit(""))
+    words = F.filter(F.split(text, WS), lambda w: w != F.lit(""))
     return F.flatten(F.transform(words, lambda w: encode_word(w, merges)))
 
 

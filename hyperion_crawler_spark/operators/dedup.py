@@ -680,28 +680,32 @@ def _scrub_windows_exploded(s1: DataFrame, w: int,
                             handles: list | None = None) -> DataFrame:
     """Long-document form of ``scrub_repeated_windows`` (round-5
     verdict 'Next round' #3): the O(n²)-per-document array_position
-    pass is replaced by a shuffle — window hashes are posexploded to
+    pass is replaced by shuffles — window hashes are posexploded to
     (doc_id, i, h) rows, first occurrence is a MIN window over
-    (doc_id, h), and only the DUPLICATE window start offsets come back
-    (collected + sorted per doc — O(dup windows), tiny unless the doc
-    is mostly repetition). The hashed frame is PERSISTED before the
-    posexplode + rebind self-join — generator extraction re-inlines
-    computed arrays through projection barriers (the winnowing/minhash
-    hazard: without the barrier each exploded element re-derives the
-    whole O(n·w) hash transform → O(n²·w) total, measured 390 s on one
-    50k-token doc vs 5 s for the hash pass itself). ``handles``: same
-    release contract as winnowing_pairs/dup_clusters. Coverage then
-    collapses to MERGED intervals
-    with one Catalyst fold (adjacent/overlapping dup windows join, so
-    a fully-duplicated 25k-token half is ONE interval, not 25k), and
-    the kept text is reassembled by slicing the gaps between intervals
-    — O(n + intervals) per document, no per-token scan at all.
+    (doc_id, h), duplicate starts expand to their covered positions
+    (``explode(sequence(i, i+w-1))`` → O(dup_windows·w) rows,
+    de-duplicated), tokens posexplode to (doc_id, pos, tok) rows, and
+    the kept text is one LEFT ANTI join + per-doc ``array_sort ∘
+    collect_list`` reassembly. Every step is linear rows — no
+    accumulator fold that copies arrays per element (the first cut's
+    interval/gap folds were O(dup_windows²) per doc: F.aggregate
+    re-copies the accumulated array every step, which crawls on
+    exactly the scattered-boilerplate docs this path exists for —
+    review r6).
 
-    Only 12-byte (doc_id, offset, hash) rows ever shuffle — the token
-    text stays put (the dup-starts side of the rebind join is one
-    aggregated row per affected doc). Identical output to the array
-    form (equality pinned in tests); a 500k-token book costs
-    O(n·w) hashing + O(n log n) shuffle instead of O(n²) codegen."""
+    The hashed frame is PERSISTED before the posexplode + rebind
+    self-join — generator extraction re-inlines computed arrays
+    through projection barriers (the winnowing/minhash hazard: without
+    the barrier each exploded element re-derives the whole O(n·w) hash
+    transform → O(n²·w) total, measured 390 s on one 50k-token doc vs
+    5 s for the hash pass itself). ``handles``: same release contract
+    as winnowing_pairs/dup_clusters.
+
+    The token text does shuffle once here (unlike the array form) —
+    that is the honest cost of the long-doc branch, bounded by the
+    branch's own row volume; a 500k-token book costs O(n·w) hashing +
+    O(n log n) shuffle instead of O(n²) codegen. Identical output to
+    the array form (equality pinned in tests)."""
     s2 = _win_hashes(s1, w).persist()
     if handles is not None:
         handles.append(s2)
@@ -710,47 +714,27 @@ def _scrub_windows_exploded(s1: DataFrame, w: int,
     wfirst = Window.partitionBy("doc_id", "_wh")
     dups = (pos.withColumn("_first", F.min("_i").over(wfirst))
             .filter(F.col("_first") < F.col("_i"))
+            .select("doc_id", "_i"))
+    covered = (dups.select(
+        "doc_id", F.explode(F.sequence(F.col("_i"),
+                                       F.col("_i") + (w - 1))).alias("_p"))
+        .distinct())
+    toks = (s2.select("doc_id", F.posexplode("_t").alias("_p0", "_tok"))
+            .select("doc_id", (F.col("_p0") + 1).alias("_p"), "_tok"))
+    kept = (toks.join(covered, ["doc_id", "_p"], "left_anti")
             .groupBy("doc_id")
-            .agg(F.sort_array(F.collect_list("_i")).alias("_dups")))
-    joined = s2.join(dups, "doc_id", "left").select(
-        "doc_id", "_t",
-        F.coalesce(F.col("_dups"), F.array().cast("array<int>")).alias("_d"))
-    # merge dup-start coverage [i, i+w-1] into disjoint intervals: a
-    # start i extends the last interval when i ≤ last.e + 1 (sorted
-    # input, so one left-to-right fold suffices)
-    iv0 = F.array().cast("array<struct<s:int,e:int>>")
-    last = lambda acc: F.element_at(acc, -1)  # noqa: E731
-    intervals = F.aggregate(
-        F.col("_d"), iv0,
-        lambda acc, i: F.when(
-            (F.size(acc) > 0) & (i <= last(acc)["e"] + 1),
-            F.concat(F.slice(acc, 1, F.size(acc) - 1),
-                     F.array(F.struct(last(acc)["s"].alias("s"),
-                                      (i + w - 1).alias("e"))))
-        ).otherwise(
-            F.concat(acc, F.array(F.struct(i.alias("s"),
-                                           (i + w - 1).alias("e"))))))
-    s3 = joined.select("doc_id", "_t", intervals.alias("_iv"))
-    tt = F.col("_t")
-    n = F.size(tt)
-    # kept tokens = the gaps between intervals: one fold appends each
-    # pre-interval slice and a finish lambda appends the tail
-    acc0 = F.struct(F.array().cast("array<string>").alias("arr"),
-                    F.lit(1).alias("pos"))
-    kept = F.aggregate(
-        F.col("_iv"), acc0,
-        lambda acc, iv: F.struct(
-            F.concat(acc["arr"],
-                     F.slice(tt, acc["pos"], iv["s"] - acc["pos"])).alias("arr"),
-            (iv["e"] + 1).alias("pos")),
-        lambda acc: F.concat(acc["arr"],
-                             F.slice(tt, acc["pos"], n - acc["pos"] + 1)))
-    s4 = s3.select("doc_id", kept.alias("_k"), n.alias("_n"))
-    return s4.select(
+            .agg(F.array_sort(F.collect_list(F.struct("_p", "_tok")))
+                 .alias("_ks")))
+    out = s2.select("doc_id", F.size("_t").alias("_n")) \
+        .join(kept, "doc_id", "left")
+    karr = F.coalesce(
+        F.transform(F.col("_ks"), lambda s: s["_tok"]),
+        F.array().cast("array<string>"))
+    return out.select(
         "doc_id",
-        F.array_join(F.col("_k"), " ").alias("text_clean"),
+        F.array_join(karr, " ").alias("text_clean"),
         F.col("_n").alias("n_tokens"),
-        (F.col("_n") - F.size(F.col("_k"))).alias("n_scrubbed"))
+        (F.col("_n") - F.size(karr)).alias("n_scrubbed"))
 
 
 def scrub_repeated_windows(df: DataFrame, id_col: str, text_col: str,

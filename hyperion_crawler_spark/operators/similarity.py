@@ -36,6 +36,48 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def _stable_topk(cos_rounded, k):
+    """Per-row top-k COLUMN indices under (score DESC, column order
+    ASC). Callers pre-sort candidate columns by n_id ascending, so the
+    STABLE argsort breaks ties by n_id — exactly the total order the
+    final `(cos DESC, n_id ASC)` window applies. A partial selection
+    that uses a different order (raw unrounded scores, arbitrary
+    argpartition ties) can drop the row the global window would rank
+    k-th whenever raw scores differ by < 5e-7 but round to the same
+    6-decimal value, making results shuffle-dependent (review r6).
+    Score the matrix ALREADY ROUNDED to 6 decimals."""
+    import numpy as np
+
+    kk = min(k, cos_rounded.shape[1])
+    return np.argsort(-cos_rounded, axis=1, kind="stable")[:, :kk]
+
+
+def _merge_topk(best_c, best_n, add_c, add_n, k):
+    """Per-row merge of two candidate sets (running best + a chunk's
+    top-k) under the same (score DESC, n_id ASC) order — numeric ids
+    compare numerically, anything else as strings. Both sides are ≤ k
+    wide, so the per-row lexsort is O(k log k). -inf entries are
+    padding and never selected."""
+    import numpy as np
+
+    for qi in range(best_c.shape[0]):
+        mc = np.concatenate([best_c[qi], add_c[qi]])
+        mn = np.concatenate([best_n[qi], add_n[qi]])
+        fin = np.nonzero(np.isfinite(mc))[0]
+        best_c[qi, :] = -np.inf
+        if len(fin) == 0:
+            continue
+        key2 = mn[fin]
+        try:
+            key2 = key2.astype(np.int64)
+        except (TypeError, ValueError):
+            key2 = key2.astype(str)
+        sel = fin[np.lexsort((key2, -mc[fin]))[:k]]
+        best_c[qi, :len(sel)] = mc[sel]
+        best_n[qi, :len(sel)] = mn[sel]
+    return best_c, best_n
+
+
 def brute_force_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
                      id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Exact cosine top-k neighbors per query (baseline / verifier).
@@ -117,16 +159,17 @@ def brute_force_topk_gemm(queries: DataFrame, corpus: DataFrame, k: int = 5,
         for pdf in batches:
             if len(pdf) == 0:
                 continue
+            pdf = pdf.sort_values(id_col)   # column order = n_id ASC
             cm = np.array(list(pdf[vec_col]), dtype=np.float64)
             cm /= np.linalg.norm(cm, axis=1, keepdims=True)
-            cos = qmat @ cm.T                          # (n_q, n_batch)
+            cos = np.round(qmat @ cm.T, 6)             # (n_q, n_batch)
             n_ids = pdf[id_col].to_numpy(np.int64)
             kk = min(k + 1, cos.shape[1])              # +1: self may appear
-            top = np.argpartition(-cos, kk - 1, axis=1)[:, :kk]
+            top = _stable_topk(cos, kk)                # ties → n_id ASC
             out = {
                 "q_id": np.repeat(ids, kk),
                 "n_id": n_ids[top.ravel()],
-                "cos": np.round(np.take_along_axis(cos, top, axis=1).ravel(), 6),
+                "cos": np.take_along_axis(cos, top, axis=1).ravel(),
             }
             yield pd.DataFrame(out)
 
@@ -548,6 +591,7 @@ def pq_topk(queries: DataFrame, corpus: DataFrame, dim: int, k: int = 5,
         for pdf in batches:
             if len(pdf) == 0:
                 continue
+            pdf = pdf.sort_values("n_id")   # column order = n_id ASC
             codes = np.array(list(pdf["codes"]), dtype=np.int64)  # (n, m)
             rn = pdf["recon_norm"].to_numpy()
             rn = np.where(rn == 0, 1.0, rn)
@@ -555,18 +599,16 @@ def pq_topk(queries: DataFrame, corpus: DataFrame, dim: int, k: int = 5,
             scores = np.zeros((nq, len(codes)))
             for m in range(codes.shape[1]):
                 scores += t[:, m, :][:, codes[:, m]]
-            cos = scores / (qn[:, None] * rn[None, :])
+            cos = np.round(scores / (qn[:, None] * rn[None, :]), 6)
             n_ids = pdf["n_id"].to_numpy()
+            cos[qid[:, None] == n_ids[None, :]] = -np.inf   # self excluded
             nn = min(k, len(codes))
+            top = _stable_topk(cos, nn)                     # ties → n_id ASC
             rows = []
             for qi in range(nq):
-                c = cos[qi].copy()
-                c[n_ids == qid[qi]] = -np.inf       # self-match excluded
-                top = np.argpartition(-c, nn - 1)[:nn] if nn < len(c) \
-                    else np.arange(len(c))
-                for j in top:
-                    if np.isfinite(c[j]):
-                        rows.append((qid[qi], n_ids[j], round(float(c[j]), 6)))
+                for j in top[qi]:
+                    if np.isfinite(cos[qi, j]):
+                        rows.append((qid[qi], n_ids[j], float(cos[qi, j])))
             yield pd.DataFrame(rows, columns=["q_id", "n_id", "cos"])
 
     partial = encoded.mapInPandas(scan, out_schema)
@@ -767,6 +809,7 @@ def ivfpq_topk(queries: DataFrame, corpus: DataFrame | None = None,
         for pdf in batches:
             if len(pdf) == 0:
                 continue
+            pdf = pdf.sort_values("n_id")   # column order = n_id ASC
             codes = np.array(list(pdf["codes"]), dtype=np.int64)   # (n, m)
             cid = pdf["cid"].to_numpy(np.int64)
             rn = pdf["recon_norm"].to_numpy()
@@ -774,19 +817,17 @@ def ivfpq_topk(queries: DataFrame, corpus: DataFrame | None = None,
             scores = qc[:, cid].copy()                             # (nq, n)
             for m in range(codes.shape[1]):
                 scores += t[:, m, :][:, codes[:, m]]
-            cos = scores / (qn[:, None] * rn[None, :])
+            cos = np.round(scores / (qn[:, None] * rn[None, :]), 6)
             cos[~pr[:, cid]] = -np.inf          # unprobed (qi, cell) pairs
             n_ids = pdf["n_id"].to_numpy()
+            cos[qid[:, None] == n_ids[None, :]] = -np.inf   # self excluded
             nn = min(k, cos.shape[1])
+            top = _stable_topk(cos, nn)                     # ties → n_id ASC
             rows = []
             for qi in range(nq):
-                c = cos[qi].copy()
-                c[n_ids == qid[qi]] = -np.inf   # self-match excluded
-                top = np.argpartition(-c, nn - 1)[:nn] if nn < len(c) \
-                    else np.arange(len(c))
-                for j in top:
-                    if np.isfinite(c[j]):
-                        rows.append((qid[qi], n_ids[j], round(float(c[j]), 6)))
+                for j in top[qi]:
+                    if np.isfinite(cos[qi, j]):
+                        rows.append((qid[qi], n_ids[j], float(cos[qi, j])))
             yield pd.DataFrame(rows, columns=["q_id", "n_id", "cos"])
 
     # the cell prune: a Catalyst filter BEFORE the kernel, so unprobed
@@ -830,8 +871,17 @@ def ivfpq_topk_distributed(queries: DataFrame, corpus: DataFrame | None = None,
        ``score(q, x) = q·mean(cid) + Σ_m ADC_m[code_m]``, ADC tables
        built per (cell, query-chunk) from the broadcast codebooks —
        never materialized for the full query set — and the corpus side
-       scanned in ``c_chunk`` blocks so peak memory is
-       O(q_chunk · max(k_codes, c_chunk)) regardless of cell size;
+       scanned in ``c_chunk`` blocks so the SCORE MATRIX peaks at
+       O(q_chunk · max(k_codes, c_chunk)). Honest caveat:
+       ``cogroup().applyInPandas`` materializes each (cell-queries,
+       cell-corpus) group pair as pandas frames before the kernel
+       runs, so a task's resident input is O(cell population · m +
+       probing-query count · dim) — the chunk loops bound the
+       quadratic term, not the group frames. At scale, cell size is
+       the knob: grow ``n_centroids`` with the corpus (FAISS practice
+       ~√|corpus| cells) so cells stay task-sized; a pathologically
+       hot cell needs a salted sub-cell split (same cure as the
+       per-host top-k), not built here;
        only each query's per-cell top-k leaves the kernel;
     4. global top-k: one window over ≤ n_probe·k rows per query.
 
@@ -902,6 +952,7 @@ def ivfpq_topk_distributed(queries: DataFrame, corpus: DataFrame | None = None,
                                 columns=["q_id", "n_id", "cos"])
         _cm, mm, cb = bidx.value
         cid = int(right["cid"].iloc[0])
+        right = right.sort_values("n_id")   # column order = n_id ASC
         out_q, out_n, out_c = [], [], []
         for qs in range(0, len(left), q_chunk):
             qpdf = left.iloc[qs:qs + q_chunk]
@@ -912,7 +963,12 @@ def ivfpq_topk_distributed(queries: DataFrame, corpus: DataFrame | None = None,
             bias = qm @ mm[cid]                       # (nq,)
             adc = np.stack([qm[:, m * sub:(m + 1) * sub] @ cb[m].T
                             for m in range(m_blocks)], axis=1)
-            # per-query running top-k across corpus chunks
+            # per-query running top-k across corpus chunks, always
+            # under the global (cos DESC, n_id ASC) order on ROUNDED
+            # scores: chunk selection is a stable argsort over
+            # n_id-sorted columns, the running merge a per-row lexsort
+            # over ≤ 2k candidates (_merge_topk) — chunk boundaries
+            # can neither reorder arithmetic nor flip a 6-decimal tie
             best_c = np.full((len(qm), k), -np.inf)
             best_n = np.empty((len(qm), k), dtype=object)
             for cs in range(0, len(right), c_chunk):
@@ -925,21 +981,21 @@ def ivfpq_topk_distributed(queries: DataFrame, corpus: DataFrame | None = None,
                                          (len(qm), len(codes))).copy()
                 for m in range(codes.shape[1]):
                     scores += adc[:, m, :][:, codes[:, m]]
-                cos = scores / (qn[:, None] * rn[None, :])
+                cos = np.round(scores / (qn[:, None] * rn[None, :]), 6)
                 cos[qid[:, None] == n_ids[None, :]] = -np.inf  # self
-                merged = np.concatenate([best_c, cos], axis=1)
-                names = np.concatenate(
-                    [best_n, np.broadcast_to(n_ids[None, :],
-                                             (len(qm), len(n_ids)))], axis=1)
-                pick = np.argpartition(-merged, min(k, merged.shape[1]) - 1,
-                                       axis=1)[:, :k]
-                best_c = np.take_along_axis(merged, pick, axis=1)
-                best_n = np.take_along_axis(names, pick, axis=1)
+                ctop = _stable_topk(cos, k)
+                chunk_c = np.take_along_axis(cos, ctop, axis=1)
+                chunk_n = np.broadcast_to(
+                    n_ids[None, :], (len(qm), len(n_ids)))
+                chunk_n = np.take_along_axis(
+                    chunk_n.astype(object), ctop, axis=1)
+                best_c, best_n = _merge_topk(best_c, best_n,
+                                             chunk_c, chunk_n, k)
             keep = np.isfinite(best_c)
             rows_q = np.broadcast_to(qid[:, None], best_c.shape)[keep]
             out_q.append(rows_q)
             out_n.append(best_n[keep])
-            out_c.append(np.round(best_c[keep].astype(np.float64), 6))
+            out_c.append(best_c[keep].astype(np.float64))
         return pd.DataFrame({"q_id": np.concatenate(out_q),
                              "n_id": np.concatenate(out_n),
                              "cos": np.concatenate(out_c)})

@@ -643,6 +643,19 @@ class SnapshotTable:
         only a mid-flight foreign race refuses."""
         base = (base_version if base_version is not None
                 else self.current_version() or 0)
+        # pre-flight the foreign check BEFORE paying the full-table
+        # write: a refused overwrite should not leave a whole
+        # replacement table orphaned on disk (review r6)
+        if not allow_bury_foreign:
+            head0 = self.current_version() or 0
+            foreign = [v for v in range(base + 1, head0 + 1)
+                       if self._writer_of(v) != self.writer]
+            if foreign:
+                raise ForeignOverwriteError(
+                    f"overwrite of '{self.name}' from base v{base} would "
+                    f"bury foreign-writer commit(s) {foreign}; re-derive "
+                    f"from the new head, use merge(), or pass "
+                    f"allow_bury_foreign=True")
         entries = self._write_data(df)
         while True:
             head = self.current_version() or 0

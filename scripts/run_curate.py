@@ -102,15 +102,25 @@ def curate(spark: SparkSession, docs: DataFrame, out_dir: str,
 
         embs = embeddings.join(cur.select("doc_id"), "doc_id", "left_semi") \
             .select(F.col("doc_id").alias("vec_id"), "embedding")
-        dim = len(embs.select("embedding").head()["embedding"])
-        spairs = SIM.ivfpq_self_pairs(
-            embs, dim=dim, threshold=semantic_threshold, k=5,
-            n_centroids=16, n_probe=4, m_blocks=8)
-        slabels = DD.dup_clusters(spairs)
-        cur = DD.keep_cluster_representatives(cur, "doc_id", slabels)
-        cur = cur.persist()
-        stats["semantic_dedup"] = cur.count()
-        _lap("semantic_dedup")
+        probe = embs.select("embedding").head()
+        if probe is None:
+            # no embedding covers a surviving doc — the stage is a
+            # no-op, not a crash (review r6)
+            stats["semantic_dedup"] = stats.get("near_dedup")
+            _lap("semantic_dedup")
+        else:
+            dim = len(probe["embedding"])
+            # PQ blocks must divide the embedding dimension; derive
+            # from the data instead of crashing on e.g. dim=100
+            mb = next(m for m in (8, 4, 2, 1) if dim % m == 0)
+            spairs = SIM.ivfpq_self_pairs(
+                embs, dim=dim, threshold=semantic_threshold, k=5,
+                n_centroids=16, n_probe=4, m_blocks=mb)
+            slabels = DD.dup_clusters(spairs)
+            cur = DD.keep_cluster_representatives(cur, "doc_id", slabels)
+            cur = cur.persist()
+            stats["semantic_dedup"] = cur.count()
+            _lap("semantic_dedup")
 
     # 3. benchmark decontamination (8-gram overlap rule)
     if benchmark is not None:

@@ -551,6 +551,50 @@ def test_ivfpq_self_pairs_finds_planted_semantic_dups(spark):
     assert all(i2 == i1 + 100000 for i1, i2 in pairs)
 
 
+def test_ann_tie_breaks_deterministic_on_duplicate_groups(spark):
+    """Review r6: a duplicate group larger than k (8 exact copies,
+    k=5) makes every neighbor score exactly cos=1.0 — the per-cell /
+    per-batch partial top-k must break those ties by n_id ASC (the
+    global window's order), not by shuffle-dependent arrival order.
+    Pinned across three partitionings on BOTH ANN paths and the brute
+    force."""
+    base = [float(x) for x in np.arange(1, 17)]
+    rows = [(i, base) for i in range(8)]                 # 8 exact copies
+    rows += [(100 + i, [float(x) for x in np.arange(1, 17) * (i + 2)])
+             for i in range(4)]                          # same direction!
+    # make the extra rows actually distinct directions
+    rows = rows[:8] + [
+        (100 + i,
+         [float((x * (i + 3)) % 7 + 1) for x in range(1, 17)])
+        for i in range(4)]
+    df0 = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    outs = []
+    for parts in (1, 5, 11):
+        df = df0.repartition(parts)
+        top = SIM.ivfpq_topk_distributed(
+            df, df, dim=16, k=5, n_centroids=2, n_probe=2, m_blocks=4,
+            k_codes=1_000_000, train_iters=0, sample_cap=1_000_000,
+            c_chunk=3)                                   # force chunk merges
+        outs.append(sorted(tuple(r) for r in top.collect()))
+    assert outs[0] == outs[1] == outs[2]
+    # copies 0..7: each one's 5 neighbors are the 5 SMALLEST other ids
+    by_q = {}
+    for q, n, _c, r in outs[0]:
+        by_q.setdefault(q, []).append((r, n))
+    for q in range(8):
+        want = sorted(i for i in range(8) if i != q)[:5]
+        assert [n for _r, n in sorted(by_q[q])][:5] == want, (q, by_q[q])
+    # collected path + brute force agree on the same tie-break
+    col = {(r["q_id"], r["rank"], r["n_id"]) for r in SIM.ivfpq_topk(
+        df0, df0, dim=16, k=5, n_centroids=2, n_probe=2, m_blocks=4,
+        k_codes=1_000_000, train_iters=0, sample_cap=1_000_000).collect()}
+    dist = {(q, r, n) for q, n, _c, r in outs[0]}
+    assert col == dist
+    bf = {(r["q_id"], r["rank"], r["n_id"])
+          for r in SIM.brute_force_topk_gemm(df0, df0, k=5).collect()}
+    assert bf == dist
+
+
 def test_scrub_repeated_windows_catches_offgrid_repeat(spark):
     """The round-4 verdict's missing case, pinned: a 12-token block
     repeated at offset 3 (≢ 0 mod 10) is INVISIBLE to the fixed
@@ -613,6 +657,32 @@ def test_scrub_exploded_form_equals_array_form(spark):
            DD.scrub_repeated_windows(df, "doc_id", "text", w=10,
                                      long_doc_tokens=20).collect()}
     assert mix == arr
+
+
+def test_scrub_exploded_many_scattered_repeats_linear(spark):
+    """The review-r6 pathological shape for the long-doc path: a
+    10-token boilerplate line repeated 2,000 times, interleaved with
+    unique lines — thousands of DISJOINT covered intervals. The
+    anti-join reassembly is linear in rows; the first-cut accumulator
+    folds were O(dup_windows²) per doc and crawl here."""
+    import time
+    blocks = []
+    boiler = " ".join(f"b{j}" for j in range(10))
+    for i in range(2000):
+        blocks.append(" ".join(f"u{i}_{j}" for j in range(5)))
+        blocks.append(boiler)
+    df = spark.createDataFrame([(1, " ".join(blocks))],
+                               "doc_id int, text string")
+    t0 = time.monotonic()
+    out = DD.scrub_repeated_windows(df, "doc_id", "text", w=10,
+                                    long_doc_tokens=0).collect()[0]
+    dt = time.monotonic() - t0
+    assert out["n_tokens"] == 2000 * 15
+    # first boilerplate occurrence survives; the 1,999 repeats scrub
+    assert out["n_scrubbed"] == 1999 * 10
+    assert "u1999_4" in out["text_clean"]          # unique lines intact
+    assert out["text_clean"].count("b0 ") == 1
+    assert dt < 90, f"scattered-repeat scrub took {dt:.0f}s"
 
 
 def test_scrub_long_doc_cutover_bounded_time(spark):
