@@ -847,7 +847,7 @@ def ivfpq_topk_distributed(queries: DataFrame, corpus: DataFrame | None = None,
                            k_codes: int = 256, coarse_iters: int = 3,
                            train_iters: int = 5, sample_cap: int = 10_000,
                            index=None, q_chunk: int = 1024,
-                           c_chunk: int = 65_536,
+                           c_chunk: int = 65_536, cell_splits: int = 1,
                            id_col: str = "vec_id",
                            vec_col: str = "embedding") -> DataFrame:
     """IVFADC with a DISTRIBUTED query side — the corpus-vs-corpus
@@ -879,9 +879,12 @@ def ivfpq_topk_distributed(queries: DataFrame, corpus: DataFrame | None = None,
        probing-query count · dim) — the chunk loops bound the
        quadratic term, not the group frames. At scale, cell size is
        the knob: grow ``n_centroids`` with the corpus (FAISS practice
-       ~√|corpus| cells) so cells stay task-sized; a pathologically
-       hot cell needs a salted sub-cell split (same cure as the
-       per-host top-k), not built here;
+       ~√|corpus| cells) so cells stay task-sized; for a
+       pathologically hot cell pass ``cell_splits > 1`` — the salted
+       sub-cell split below bounds a subgroup to ~cell/cell_splits
+       corpus rows at the cost of a cell_splits× query shuffle, with
+       BIT-IDENTICAL output (each n_id lives in one sub-cell; the
+       global window merges sub-cell top-ks under the same order);
        only each query's per-cell top-k leaves the kernel;
     4. global top-k: one window over ≤ n_probe·k rows per query.
 
@@ -1000,9 +1003,31 @@ def ivfpq_topk_distributed(queries: DataFrame, corpus: DataFrame | None = None,
                              "n_id": np.concatenate(out_n),
                              "cos": np.concatenate(out_c)})
 
-    partial = (q_probe.groupBy("cid")
-               .cogroup(encoded.groupBy("cid"))
-               .applyInPandas(score_cell, out_schema))
+    if cell_splits > 1:
+        # hot-cell salt (same cure as the per-host top-k): each cell
+        # splits into `cell_splits` deterministic sub-cells by n_id
+        # hash, queries replicate to every sub-cell of each probed
+        # cell. A subgroup's resident frames shrink ~cell_splits×; the
+        # query shuffle grows cell_splits×. Every n_id lives in
+        # exactly one sub-cell, so no (q, n) pair scores twice, each
+        # sub-cell emits its top-k under the same global order, and
+        # the window over the superset returns EXACTLY the
+        # cell_splits=1 result (equality pinned in tests).
+        s = int(cell_splits)
+        enc2 = encoded.withColumn(
+            "scid", (F.col("cid") * s
+                     + F.pmod(F.xxhash64(F.col("n_id")), F.lit(s))
+                     ).cast("long"))
+        qp2 = q_probe.withColumn(
+            "_sub", F.explode(F.array(*[F.lit(i) for i in range(s)]))
+        ).withColumn("scid", (F.col("cid") * s + F.col("_sub")).cast("long"))
+        partial = (qp2.groupBy("scid")
+                   .cogroup(enc2.groupBy("scid"))
+                   .applyInPandas(score_cell, out_schema))
+    else:
+        partial = (q_probe.groupBy("cid")
+                   .cogroup(encoded.groupBy("cid"))
+                   .applyInPandas(score_cell, out_schema))
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id").asc())
     return (partial.withColumn("rank", F.row_number().over(w))
                    .filter(F.col("rank") <= k)

@@ -529,6 +529,32 @@ def test_ivfpq_distributed_never_collects_queries(spark):
         SIM.ivfpq_topk_distributed).parameters
 
 
+def test_ivfpq_distributed_cell_splits_identical(spark):
+    """Hot-cell salt: cell_splits>1 must return EXACTLY the unsplit
+    result — each n_id lands in one deterministic sub-cell, every
+    sub-cell emits its top-k under the global order, and the window
+    merges. Checked at approximate settings (real cell pruning) and
+    with a forced hot cell (all vectors in one coarse cell)."""
+    e = spark.read.parquet(f"{SF}/embeddings.parquet").limit(300) \
+        .select("vec_id", "embedding")
+    q = e.filter(F.col("vec_id") % 10 == 0)
+    base = {tuple(r) for r in SIM.ivfpq_topk_distributed(
+        q, e, dim=64, k=5, n_centroids=8, n_probe=3, m_blocks=8,
+        k_codes=32).collect()}
+    split = {tuple(r) for r in SIM.ivfpq_topk_distributed(
+        q, e, dim=64, k=5, n_centroids=8, n_probe=3, m_blocks=8,
+        k_codes=32, cell_splits=4).collect()}
+    assert split == base
+    # forced hot cell: ONE coarse centroid → every vector shares it
+    hot1 = {tuple(r) for r in SIM.ivfpq_topk_distributed(
+        q, e, dim=64, k=5, n_centroids=1, n_probe=1, m_blocks=8,
+        k_codes=32).collect()}
+    hot8 = {tuple(r) for r in SIM.ivfpq_topk_distributed(
+        q, e, dim=64, k=5, n_centroids=1, n_probe=1, m_blocks=8,
+        k_codes=32, cell_splits=8).collect()}
+    assert hot8 == hot1 and len(hot1) > 0
+
+
 def test_ivfpq_self_pairs_finds_planted_semantic_dups(spark):
     """SemDeDup shape: corpus-vs-corpus. Planted ε-perturbed copies
     (cos ≈ 1) must pair with their originals; unrelated vectors stay
