@@ -68,6 +68,18 @@ class ForeignOverwriteError(Exception):
     ``allow_bury_foreign=True``."""
 
 
+class ForeignDeltaPending(Exception):
+    """A fold/compaction would bake in a delta committed by a
+    DIFFERENT writer in a version absent from the round log. That
+    delta is either in-flight (its writer will checkpoint it soon) or
+    a crashed attempt's leftovers (its writer's redo will orphan it on
+    resume) — and a fold cannot tell which. Baking it makes it
+    un-orphanable: the redo then re-applies the same rows on top of
+    the folded copy (the ``_rebased_files`` known-limit window, closed
+    by this guard). Callers either defer the fold (merge keeps
+    appending deltas) or wait for the foreign writer to checkpoint."""
+
+
 def _atomic_write_json(path: str, obj) -> None:
     tmp = f"{path}.tmp-{uuid.uuid4().hex}"
     with open(tmp, "w") as f:
@@ -259,11 +271,13 @@ class SnapshotTable:
         the exact redo discipline ``Catalog.base_versions`` encodes,
         now correct under concurrency too.
 
-        Known limit (documented): if a foreign commit COMPACTED state
-        that included an orphaned same-writer delta, the fold bakes the
-        orphan in. The daemon only appends small delta batches between
-        crawl rounds, so the window requires a crash + a foreign
-        compaction inside one round — accepted at this round's scope."""
+        The former known limit — a foreign commit COMPACTING state that
+        included an orphaned same-writer delta, baking the orphan in —
+        is closed (r6): every fold site (``compact``, both
+        ``_merge_delta`` triggers) first checks
+        ``_foreign_unlogged_deltas`` and defers/raises while any live
+        delta belongs to another writer's unlogged commit
+        (``ForeignDeltaPending``; tests/test_concurrency.py)."""
         base = base_ver or 0
         # the NORMALIZED base, not base_ver: _live_files(None) means
         # "current head", which would seed the replay with head files
@@ -902,7 +916,13 @@ class SnapshotTable:
             pend_rows = sum(f["rows"] for f in pend_pre)
             if base_rows:
                 ratio_fires = (pend_rows + n_new) >= self.compact_ratio * base_rows
-        if count_fires or ratio_fires:
+        # fold only when no live delta belongs to an unlogged FOREIGN
+        # commit (in-flight or crashed-pending-redo — baking it would
+        # make the redo double-apply); deferring just appends another
+        # delta, and the trigger re-fires once the foreign writer
+        # checkpoints
+        can_fold = not self._foreign_unlogged_deltas(pend_pre, ver - 1)
+        if (count_fires or ratio_fires) and can_fold:
             folded = self._reconcile(spark, files, keys, extra_delta=delta)
             return self._commit(self._write_data(folded), meta, ver=ver)
 
@@ -930,20 +950,85 @@ class SnapshotTable:
         delta_files = [f for f in new_files if f.get("kind") == "delta"]
         ratio_hit = (self.compact_ratio and base_files
                      and _bytes(delta_files) >= self.compact_ratio * _bytes(base_files))
-        if ratio_hit or (self.compact_after and n_delta_commits >= self.compact_after):
+        if (ratio_hit or (self.compact_after
+                          and n_delta_commits >= self.compact_after)) \
+                and can_fold:
             folded = self._reconcile(spark, new_files, keys)
             return self._commit(self._write_data(folded), meta, ver=ver)
         return self._commit(new_files, meta, keys=keys, ver=ver)
 
+    def _foreign_unlogged_deltas(self, delta_files: list[dict],
+                                 head: int) -> list[int]:
+        """Versions that introduced any of ``delta_files`` and were
+        committed by ANOTHER writer without a round-log entry — the
+        deltas a fold must not bake (see ``ForeignDeltaPending``).
+        Walks manifests downward from ``head`` and stops once every
+        delta is attributed (deltas only exist since the last fold, so
+        the walk is shallow); an expired manifest below the walk means
+        the remaining deltas predate the GC keep-window and are
+        checkpointed by the maintenance contract.
+
+        Durability test: a version is safe when it is round-logged OR
+        at-or-below the table's HIGHEST logged version — a redo binds
+        to the last checkpoint and never replays below it, and a live
+        delta under the checkpoint was carried by the checkpointed
+        lineage (the daemon's fold=True round entries supersede the
+        crawl's same-round version, so intermediate versions drop out
+        of the log while staying durable)."""
+        remaining = {f["path"] for f in delta_files}
+        if not remaining:
+            return []
+        logged = self.log_lookup() if self.log_lookup else set()
+        logged_max = max(logged, default=0)
+        out: list[int] = []
+        nxt_paths: set | None = None    # paths of version v+1's manifest
+        for v in range(head, 0, -1):
+            if not remaining:
+                break
+            try:
+                paths_v = {f["path"] for f in self._manifest(v)["files"]}
+            except FileNotFoundError:
+                break                    # expired ⇒ checkpointed history
+            if nxt_paths is not None:
+                intro_above = (nxt_paths - paths_v) & remaining
+                if intro_above:
+                    remaining -= intro_above
+                    m_above = self._manifest(v + 1)
+                    if (m_above.get("writer") != self.writer
+                            and v + 1 not in logged
+                            and v + 1 > logged_max):
+                        out.append(v + 1)
+            nxt_paths = paths_v
+        if remaining and nxt_paths is not None:
+            # survivors introduced at the lowest walked version (v=1)
+            still = nxt_paths & remaining
+            if still:
+                m1 = self._manifest(1)
+                if (m1.get("writer") != self.writer and 1 not in logged
+                        and 1 > logged_max):
+                    out.append(1)
+        return sorted(out)
+
     def compact(self, spark: SparkSession, meta: dict | None = None) -> int:
         """Fold delta files into fresh base files (Iceberg
         ``rewrite_data_files`` analog). No-op (returns the current
-        version) when the table has no deltas."""
+        version) when the table has no deltas. Raises
+        ``ForeignDeltaPending`` when a live delta belongs to another
+        writer's unlogged commit — folding it would make the crashed/
+        in-flight writer's redo double-apply (the guard that closes
+        the ``_rebased_files`` known-limit window)."""
         while True:
             ver = self.current_version()
             files = self._live_files(ver)
-            if not files or not any(f.get("kind") == "delta" for f in files):
+            deltas = [f for f in files or [] if f.get("kind") == "delta"]
+            if not files or not deltas:
                 return ver or 0
+            foreign = self._foreign_unlogged_deltas(deltas, ver)
+            if foreign:
+                raise ForeignDeltaPending(
+                    f"compact of '{self.name}': live delta(s) from "
+                    f"unlogged foreign commit(s) {foreign}; wait for that "
+                    f"writer to checkpoint (or for its redo to orphan them)")
             df = self._reconcile(spark, files, self._manifest(ver)["keys"])
             try:
                 return self._commit(self._write_data(df), meta, ver=ver + 1)

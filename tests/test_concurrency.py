@@ -344,3 +344,64 @@ def test_overwrite_refuses_to_bury_foreign_commit(spark, tmp_path):
     t1.overwrite(spark.createDataFrame([(7, "z")], "k int, v string"),
                  allow_bury_foreign=True)
     assert [tuple(r) for r in t1.read(spark).collect()] == [(7, "z")]
+
+
+def test_fold_defers_on_foreign_unlogged_delta(spark, tmp_path):
+    """Closing the r5 known limit: a fold (merge-triggered or explicit
+    compact) must not bake a delta committed by ANOTHER writer in an
+    unlogged version — that delta may be a crashed attempt's leftovers
+    whose redo would then double-apply. The merge defers (keeps
+    appending deltas) and compact raises; once the foreign version is
+    round-logged, folding resumes."""
+    import pytest as _pytest
+
+    from hyperion_crawler_spark.sources.tables import (Catalog,
+                                                       ForeignDeltaPending)
+
+    cat_a = Catalog(str(tmp_path), writer="crawl")
+    cat_b = Catalog(str(tmp_path), writer="daemon")
+    ta = cat_a.table("t", "shard", merge_on_read=True, compact_after=2)
+    tb = cat_b.table("t", "shard", merge_on_read=True, compact_after=2)
+    ta.compact_ratio = tb.compact_ratio = 0   # isolate the count trigger
+
+    base = spark.createDataFrame([(1, 1, "a"), (2, 2, "b")],
+                                 "k int, shard int, v string")
+    v1 = ta.append(base)
+    cat_a.commit_round(1, {"t": v1})
+
+    # crawl commits a delta and CRASHES before logging it
+    v2 = ta.merge(spark, spark.createDataFrame(
+        [(3, 3, "crashed")], "k int, shard int, v string"), ["k"])
+    assert any(f.get("kind") == "delta" for f in ta._live_files(v2))
+
+    # daemon's merge would hit compact_after=2 — must DEFER the fold
+    v3 = tb.merge(spark, spark.createDataFrame(
+        [(4, 4, "daemon")], "k int, shard int, v string"), ["k"])
+    assert any(f.get("kind") == "delta" for f in tb._live_files(v3)), \
+        "fold must defer while a foreign unlogged delta is live"
+
+    # explicit maintenance compact from the daemon refuses outright
+    with _pytest.raises(ForeignDeltaPending, match="unlogged foreign"):
+        tb.compact(spark)
+
+    # reads still reconcile correctly through the deferred deltas
+    rows = sorted((r["k"], r["v"]) for r in tb.read(spark).collect())
+    assert rows == [(1, "a"), (2, "b"), (3, "crashed"), (4, "daemon")]
+
+    # the crawl checkpoints its round → its version becomes durable →
+    # the daemon's next fold proceeds and bakes everything
+    cat_a.commit_round(2, {"t": v2})
+    cat_b.commit_round(2, {"t": v3}, fold=True)
+    v4 = tb.compact(spark)
+    assert not any(f.get("kind") == "delta" for f in tb._live_files(v4))
+    rows = sorted((r["k"], r["v"]) for r in tb.read(spark).collect())
+    assert rows == [(1, "a"), (2, "b"), (3, "crashed"), (4, "daemon")]
+
+    # same-writer unlogged deltas still fold freely (the crawl's own
+    # in-round compaction path) — only FOREIGN unlogged defers
+    v5 = ta.merge(spark, spark.createDataFrame(
+        [(5, 5, "own1")], "k int, shard int, v string"), ["k"])
+    v6 = ta.merge(spark, spark.createDataFrame(
+        [(6, 6, "own2")], "k int, shard int, v string"), ["k"])
+    assert not any(f.get("kind") == "delta" for f in ta._live_files(v6)), \
+        "own unlogged deltas must still hit the compact_after fold"
