@@ -47,6 +47,15 @@ class CrawlConfig:
                                        # the round checkpoint, so resume stays
                                        # bit-identical)
     rescore_weight: float = 0.5        # blend: (1-w)·priority + w·pagerank
+    image_neardup_dist: int = 0        # >0: per-round pHash near-dup pass —
+                                       # this round's fetched images pair
+                                       # against each other AND a crawl-wide
+                                       # (phash → first image_id) MoR index
+                                       # within Hamming distance N (Manku
+                                       # blocks, dedup.hamming_join); pairs
+                                       # land in the `image_neardups` table
+                                       # and the index merges inside the
+                                       # round checkpoint (0 = off)
     fold_seen_every: int = 16          # every N rounds, OR-compact the
                                        # append-only seen_filters deltas to
                                        # one blob per shard (0 = off, CLI GC

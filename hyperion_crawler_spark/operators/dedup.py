@@ -419,6 +419,68 @@ def hamming_pairs(df: DataFrame, id_col: str, hash_col: str,
     return cross.unionByName(intra)
 
 
+def hamming_join(left: DataFrame, right: DataFrame, max_dist: int = 3,
+                 blocks: int | None = None,
+                 id_col: str = "id", hash_col: str = "h",
+                 handles: list | None = None) -> DataFrame:
+    """Cross-frame Hamming pairing: every (left row, right row) pair
+    whose 64-bit hashes differ in ≤ ``max_dist`` bits — the
+    INCREMENTAL dedup shape (this round's new image pHashes vs the
+    accumulated crawl-wide index), where ``hamming_pairs``'s
+    self-join form doesn't apply. Same Manku block candidate
+    generation and the same skew guard: candidates pair DISTINCT
+    hashes per side (a constant-pHash batch meets the index once, not
+    per copy), members expand afterwards via two hash-equi joins.
+    Identical hashes across the two sides pair at dist 0.
+
+    Returns (left_id, right_id, dist) — one row per cross pair;
+    intra-left/intra-right pairs are NOT emitted (use
+    ``hamming_pairs`` on one frame for those)."""
+    b = blocks or (max_dist + 1)
+    if not 1 <= b <= 64:
+        raise ValueError(f"blocks must be in [1, 64], got {b}")
+    h = F.col(hash_col)
+    lh = left.filter(h.isNotNull()).select(
+        F.col(id_col).alias("_lid"), h.alias("_lh")).persist()
+    rh = right.filter(h.isNotNull()).select(
+        F.col(id_col).alias("_rid"), h.alias("_rh")).persist()
+    if handles is not None:
+        handles.extend([lh, rh])
+    lp = _hamming_blocks(lh.select(F.col("_lh").alias("_h")).distinct(), b)
+    rp = _hamming_blocks(rh.select(F.col("_rh").alias("_h")).distinct(), b)
+    cand = (lp.alias("a").join(rp.alias("c"),
+                               (F.col("a.bi") == F.col("c.bi"))
+                               & (F.col("a.bv") == F.col("c.bv")))
+            .select(F.col("a._h").alias("h1"), F.col("c._h").alias("h2"))
+            .distinct())
+    hpairs = (cand.select(
+        "h1", "h2",
+        F.bit_count(F.col("h1").bitwiseXOR(F.col("h2"))).alias("dist"))
+        .filter(F.col("dist") <= max_dist))
+    return (hpairs
+            .join(lh.select("_lid", F.col("_lh").alias("h1")), "h1")
+            .join(rh.select("_rid", F.col("_rh").alias("h2")), "h2")
+            .select(F.col("_lid").alias("left_id"),
+                    F.col("_rid").alias("right_id"), "dist"))
+
+
+def _hamming_blocks(reps: DataFrame, b: int) -> DataFrame:
+    """(_h) → (_h, bi, bv) Manku block rows for ``b`` near-equal
+    blocks over the 64-bit value."""
+    widths = [(64 // b) + (1 if i < 64 % b else 0) for i in range(b)]
+    offs = [sum(widths[:i]) for i in range(b)]
+    return reps.select(
+        F.col("_h"),
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(i).alias("bi"),
+                F.shiftrightunsigned(F.col("_h"), offs[i])
+                 .bitwiseAND(F.lit((1 << widths[i]) - 1)).alias("bv"))
+            for i in range(b)
+        ])).alias("_blk"),
+    ).select("_h", "_blk.bi", "_blk.bv")
+
+
 def _hamming_block_pairs(reps: DataFrame, max_dist: int,
                          blocks: int | None = None) -> DataFrame:
     """Manku block-permutation pairing over a frame of DISTINCT hashes
@@ -430,19 +492,7 @@ def _hamming_block_pairs(reps: DataFrame, max_dist: int,
     b = blocks or (max_dist + 1)
     if not 1 <= b <= 64:
         raise ValueError(f"blocks must be in [1, 64], got {b}")
-    # split 64 bits into b near-equal blocks (widths differ by ≤1)
-    widths = [(64 // b) + (1 if i < 64 % b else 0) for i in range(b)]
-    offs = [sum(widths[:i]) for i in range(b)]
-    parts = reps.select(
-        F.col("_h"),
-        F.explode(F.array(*[
-            F.struct(
-                F.lit(i).alias("bi"),
-                F.shiftrightunsigned(F.col("_h"), offs[i])
-                 .bitwiseAND(F.lit((1 << widths[i]) - 1)).alias("bv"))
-            for i in range(b)
-        ])).alias("_blk"),
-    ).select("_h", "_blk.bi", "_blk.bv")
+    parts = _hamming_blocks(reps, b)
     a, c = parts.alias("a"), parts.alias("c")
     cand = (a.join(c, (F.col("a.bi") == F.col("c.bi"))
                       & (F.col("a.bv") == F.col("c.bv"))

@@ -288,6 +288,51 @@ def run_round(spark: SparkSession, cat, cfg: CrawlConfig, round_idx: int,
     n_failed = sum(r["failed"] for r in lin_rows)
     t = _mark("compute_metrics", t)
 
+    # --- optional image near-dup pass (cfg.image_neardup_dist) ------
+    # This round's fetched pHashes pair against each other AND the
+    # crawl-wide (phash → first image_id) index within Hamming
+    # distance N — the LAION-style image-dedup step as CRAWL STATE:
+    # work per round ∝ this round's images × block collisions, never
+    # a rescan of all images ever fetched. The index is merge-on-read
+    # keyed by phash (O(new) delta appends); pairs are evidence rows
+    # in `image_neardups`, committed inside the round checkpoint so a
+    # redo reproduces them exactly.
+    nd_rows = None
+    n_neardups = 0
+    if cfg.image_neardup_dist > 0:
+        from ..operators.dedup import hamming_join, hamming_pairs
+
+        phash_t = cat.table("phash_index", "shard", merge_on_read=True)
+        neardups_t = cat.table("image_neardups", "round")
+        new_ph = results.filter(F.col("status") == "fetched") \
+            .select(F.col("image_id").alias("id"), F.col("phash").alias("h"))
+        nd_handles: list = []
+        intra = hamming_pairs(new_ph, "id", "h",
+                              max_dist=cfg.image_neardup_dist,
+                              handles=nd_handles) \
+            .select(F.col("id1").alias("image_id"),
+                    F.col("id2").alias("dup_of"), "dist")
+        idx_df = phash_t.read(spark, version=base.get("phash_index"))
+        if idx_df is not None:
+            # hamming_join reads (id, h) on both sides; the index
+            # stores (h, shard, image_id) — present it under those
+            # names
+            cross = hamming_join(
+                new_ph,
+                idx_df.select(F.col("image_id").alias("id"), "h"),
+                max_dist=cfg.image_neardup_dist,
+                id_col="id", hash_col="h", handles=nd_handles) \
+                .withColumnRenamed("left_id", "image_id") \
+                .withColumnRenamed("right_id", "dup_of")
+            intra = intra.unionByName(cross)
+        nd_rows = (intra.withColumn("round", F.lit(round_idx))
+                   .select("image_id", "dup_of",
+                           F.col("dist").cast("int").alias("dist"), "round")
+                   .persist())
+        n_neardups = nd_rows.count()
+        for h in nd_handles:
+            h.unpersist()
+
     # --- commits (snapshot per table; round commit = checkpoint) ----
     # Independent tables commit IN PARALLEL: every input cache is
     # materialized above, so the five jobs only scan caches, and Spark
@@ -338,6 +383,32 @@ def run_round(spark: SparkSession, cat, cfg: CrawlConfig, round_idx: int,
             "archive": _commit_archive, "seen_filters": _commit_seen}
     if cfg.exact_seen_shadow:
         jobs["seen_exact"] = _commit_seen_exact
+    if cfg.image_neardup_dist > 0:
+        def _commit_phash_index():
+            # first-wins: an already-indexed phash keeps its original
+            # representative (source rows win on match, so restrict to
+            # hashes the index hasn't seen — the left_anti keeps the
+            # merge source ∝ genuinely-new hashes)
+            new_idx = (results.filter(F.col("status") == "fetched")
+                       .groupBy(F.col("phash").alias("h"))
+                       .agg(F.min("image_id").alias("image_id"))
+                       .withColumn("shard", F.pmod(F.xxhash64("h"),
+                                                   F.lit(cfg.n_shards))
+                                   .cast("int")))
+            prior = phash_t.read(spark, version=base.get("phash_index"))
+            if prior is not None:
+                new_idx = new_idx.join(prior.select("h"), "h", "left_anti")
+            return phash_t.merge(spark, new_idx.select("h", "shard",
+                                                       "image_id"), ["h"],
+                                 base_version=base.get("phash_index"))
+
+        def _commit_neardups():
+            return neardups_t.append(nd_rows,
+                                     base_version=base.get("image_neardups",
+                                                           0))
+
+        jobs["phash_index"] = _commit_phash_index
+        jobs["image_neardups"] = _commit_neardups
     with ThreadPoolExecutor(max_workers=1 + len(jobs)) as pool:
         # the results commit only scans the results cache (materialized
         # by lin_rows above), so it runs IN PARALLEL with the discovery-
@@ -453,8 +524,13 @@ def run_round(spark: SparkSession, cat, cfg: CrawlConfig, round_idx: int,
     for df in (scheduled, results, cand, unseen, probe_cache,
                res_updates, archive_rows):
         df.unpersist()
-    return {
+    if nd_rows is not None:
+        nd_rows.unpersist()
+    out = {
         "round": round_idx, "scheduled": n_sched, "fetched": n_fetched,
         "failed": n_failed, "discovered": n_cand, "new_urls": n_unseen,
         "deduped": n_cand - n_unseen, "timing": timing,
     }
+    if cfg.image_neardup_dist > 0:
+        out["image_neardups"] = n_neardups
+    return out

@@ -246,3 +246,66 @@ def test_drained_frontier_idle_rounds(spark, crawl_cfg, tmp_path_factory):
     got = {(r["round"], r["urlhash"]): r["status"] for r in res.collect()}
     want = {(r["round"], r["urlhash"]): r["status"] for r in oracle.results}
     assert got == want
+
+
+def test_image_neardup_pass_across_rounds(spark, tmp_path, crawl_cfg):
+    """cfg.image_neardup_dist: fetched images pair against the round's
+    own batch AND the crawl-wide pHash index. Planted: rounds fetch
+    images with IDENTICAL pixels (dist 0) — two inside one round, one
+    in a later round (cross-round via the index). The evidence table
+    and the per-round stat record exactly those pairs; the phash index
+    keeps the FIRST image as representative."""
+    import dataclasses
+
+    import pandas as pd
+
+    from hyperion_crawler_spark import schemas as S
+    from hyperion_crawler_spark.functions.images import (encode,
+                                                         make_pixels,
+                                                         phash64)
+    from hyperion_crawler_spark.plans.loop import run_crawl
+    from hyperion_crawler_spark.sources.tables import Catalog
+
+    px_dup = make_pixels("shared", 16, 16)
+    px_a = make_pixels("solo-a", 16, 16)
+    px_b = make_pixels("solo-b", 16, 16)
+    corp_rows = []
+    for iid, px in [("img-r1-dup1", px_dup), ("img-r1-dup2", px_dup),
+                    ("img-r1-solo", px_a), ("img-r2-dup3", px_dup),
+                    ("img-r2-solo", px_b)]:
+        corp_rows.append((iid, encode(px, "hypng"), 16, 16, "hypng",
+                          f"caption of {iid}", phash64(px)))
+    corpus = spark.createDataFrame(
+        pd.DataFrame(corp_rows, columns=["image_id", "bytes", "w", "h",
+                                         "fmt", "caption", "phash"]),
+        schema=S.CORPUS)
+    # seeds fetch the three r1 images; r1 pages link to the r2 images
+    seeds = spark.createDataFrame(
+        [(f"https://h0.example/{s}", f"img-r1-{s}", 0.9)
+         for s in ("dup1", "dup2", "solo")],
+        "url string, image_id string, priority double")
+    links = spark.createDataFrame(
+        [(f"https://h0.example/dup1", f"https://h0.example/r2-{s}",
+          f"img-r2-{s}", 0.5) for s in ("dup3", "solo")],
+        "src_url string, dst_url string, dst_image_id string, "
+        "dst_priority double")
+    robots = spark.createDataFrame([], S.ROBOTS)
+
+    cfg = dataclasses.replace(crawl_cfg, image_neardup_dist=2)
+    store = str(tmp_path / "store")
+    metrics = run_crawl(spark, store, cfg, corpus, links, robots,
+                        seeds, n_rounds=2)
+    per_round = {m["round"]: m for m in metrics if m["round"] > 0}
+    assert per_round[1]["image_neardups"] == 1      # dup1 × dup2
+    assert per_round[2]["image_neardups"] == 1      # dup3 × index rep
+
+    cat = Catalog(store)
+    nd = {(r["image_id"], r["dup_of"], r["dist"], r["round"])
+          for r in cat.table("image_neardups").read(spark).collect()}
+    assert ("img-r1-dup1", "img-r1-dup2", 0, 1) in nd
+    assert ("img-r2-dup3", "img-r1-dup1", 0, 2) in nd   # first-wins rep
+    assert len(nd) == 2
+    idx = {r["h"]: r["image_id"]
+           for r in cat.table("phash_index").read(spark).collect()}
+    assert idx[phash64(px_dup)] == "img-r1-dup1"    # rep never replaced
+    assert len(idx) == 3                            # three distinct hashes

@@ -807,6 +807,37 @@ def test_hamming_pairs_constant_hash_skew_guard(spark):
     assert (0, 2000, 1) in sample and (999, 2000, 1) in sample
 
 
+def test_hamming_join_cross_frame_equals_brute_force(spark):
+    """Incremental shape: new-batch hashes vs an index frame. Must
+    equal the all-cross-pairs scan exactly, pair identical hashes at
+    dist 0, skip nulls, and stay member-expanded under constant-hash
+    skew on either side."""
+    rng = np.random.default_rng(13)
+    idx = [(i, int(h)) for i, h in enumerate(
+        rng.integers(0, 2**63, size=30, dtype=np.int64))]
+    h0 = idx[0][1]
+    new = [(100, h0),                          # exact dup of index 0
+           (101, h0 ^ (1 << 5)),               # dist 1
+           (102, h0 ^ (1 << 5) ^ (1 << 40)),   # dist 2
+           (103, int(rng.integers(0, 2**63))), # far
+           (104, None),                        # null skipped
+           (105, h0), (106, h0)]               # constant-hash skew
+    ldf = spark.createDataFrame(new, "id long, h long")
+    rdf = spark.createDataFrame(idx, "id long, h long")
+    got = {(r["left_id"], r["right_id"], r["dist"]) for r in
+           DD.hamming_join(ldf, rdf, max_dist=3).collect()}
+    want = set()
+    for li, lh in new:
+        if lh is None:
+            continue
+        for ri, rh in idx:
+            d = bin((lh ^ rh) & ((1 << 64) - 1)).count("1")
+            if d <= 3:
+                want.add((li, ri, d))
+    assert got == want
+    assert (100, 0, 0) in got and (105, 0, 0) in got and (106, 0, 0) in got
+
+
 def test_hamming_pairs_on_simhash_variants(spark):
     """End-to-end: simhash near-dup docs pair up, unrelated ones don't."""
     docs = [
