@@ -266,27 +266,37 @@ def test_image_neardup_pass_across_rounds(spark, tmp_path, crawl_cfg):
     from hyperion_crawler_spark.plans.loop import run_crawl
     from hyperion_crawler_spark.sources.tables import Catalog
 
-    px_dup = make_pixels("shared", 16, 16)
-    px_a = make_pixels("solo-a", 16, 16)
-    px_b = make_pixels("solo-b", 16, 16)
-    corp_rows = []
-    for iid, px in [("img-r1-dup1", px_dup), ("img-r1-dup2", px_dup),
-                    ("img-r1-solo", px_a), ("img-r2-dup3", px_dup),
-                    ("img-r2-solo", px_b)]:
-        corp_rows.append((iid, encode(px, "hypng"), 16, 16, "hypng",
-                          f"caption of {iid}", phash64(px)))
+    # The fetch gate forces honest content: ids must be the img\d{10}
+    # shape, captions the exact "caption of <id> in <lang>" form
+    # (_CAPTION_RE, plans/fetch.py), and lossless pixels must EQUAL
+    # make_pixels(image_id) — so near-dups cannot be planted with
+    # shared pixels under distinct ids (the r6 fixture's mistake:
+    # every image quarantined, the pass saw zero rows). Instead the
+    # dups are ids whose HONEST 32×32 images share a pHash: the
+    # average-hash is gradient-dominated and the id-seeded noise never
+    # flips a 4×4-block cell for these ids (dist 0 verified below);
+    # the solo ids sit ≥ 3 bits away from everything else here.
+    DUP1, DUP2, DUP3 = "img0000000005", "img0000000006", "img0000000012"
+    SOLO1, SOLO2 = "img0000000003", "img0000000004"
+    px = {iid: make_pixels(iid, 32, 32)
+          for iid in (DUP1, DUP2, DUP3, SOLO1, SOLO2)}
+    assert phash64(px[DUP1]) == phash64(px[DUP2]) == phash64(px[DUP3])
+    corp_rows = [
+        (iid, encode(p, "hypng"), 32, 32, "hypng",
+         f"caption of {iid} in en", phash64(p))
+        for iid, p in px.items()]
     corpus = spark.createDataFrame(
         pd.DataFrame(corp_rows, columns=["image_id", "bytes", "w", "h",
                                          "fmt", "caption", "phash"]),
         schema=S.CORPUS)
     # seeds fetch the three r1 images; r1 pages link to the r2 images
     seeds = spark.createDataFrame(
-        [(f"https://h0.example/{s}", f"img-r1-{s}", 0.9)
-         for s in ("dup1", "dup2", "solo")],
+        [(f"https://h0.example/{s}", iid, 0.9)
+         for s, iid in [("dup1", DUP1), ("dup2", DUP2), ("solo", SOLO1)]],
         "url string, image_id string, priority double")
     links = spark.createDataFrame(
         [(f"https://h0.example/dup1", f"https://h0.example/r2-{s}",
-          f"img-r2-{s}", 0.5) for s in ("dup3", "solo")],
+          iid, 0.5) for s, iid in [("dup3", DUP3), ("solo", SOLO2)]],
         "src_url string, dst_url string, dst_image_id string, "
         "dst_priority double")
     robots = spark.createDataFrame([], S.ROBOTS)
@@ -302,10 +312,10 @@ def test_image_neardup_pass_across_rounds(spark, tmp_path, crawl_cfg):
     cat = Catalog(store)
     nd = {(r["image_id"], r["dup_of"], r["dist"], r["round"])
           for r in cat.table("image_neardups").read(spark).collect()}
-    assert ("img-r1-dup1", "img-r1-dup2", 0, 1) in nd
-    assert ("img-r2-dup3", "img-r1-dup1", 0, 2) in nd   # first-wins rep
+    assert (DUP1, DUP2, 0, 1) in nd
+    assert (DUP3, DUP1, 0, 2) in nd                 # first-wins rep
     assert len(nd) == 2
     idx = {r["h"]: r["image_id"]
            for r in cat.table("phash_index").read(spark).collect()}
-    assert idx[phash64(px_dup)] == "img-r1-dup1"    # rep never replaced
+    assert idx[phash64(px[DUP1])] == DUP1           # rep never replaced
     assert len(idx) == 3                            # three distinct hashes
