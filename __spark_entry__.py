@@ -45,6 +45,21 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def _t_spread(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Fixture tables are single-row-group parquet files, so their scan
+    is ONE task and any per-row-expensive pipeline above it runs on one
+    core while the rest of the cluster idles (guide §2.5 input skew:
+    'one huge unsplittable file — repartition immediately after the
+    read'). Round-robin spread sized from defaultParallelism (scale-
+    adaptive: executor cores on a real cluster, $SPARK_GRAFT_CPUS
+    locally); the shuffled bytes are the table itself — a few MB here,
+    and at 100 TB a properly row-grouped table never takes this path.
+    Used ONLY by queries whose scan-stage compute dominates; cheap
+    scans keep the direct read (the exchange is pure overhead there)."""
+    return _t(spark, sf_dir, name).repartition(
+        spark.sparkContext.defaultParallelism)
+
+
 def _pround(col, n: int):
     """Cross-engine-portable rounding: floor(x·10^n + 0.5)/10^n computed
     on the raw double. Spark's round() re-parses the double's shortest
@@ -232,9 +247,18 @@ def q19_simhash(spark, sf):
 
 
 def q20_embedding_topk(spark, sf):
-    e = _t(spark, sf, "embeddings")
+    # spread the corpus: the scoring join's parallelism is the stream
+    # (corpus) side's partitioning, and the single-row-group file
+    # arrives as ONE task
+    e = _t_spread(spark, sf, "embeddings")
     queries = e.filter(F.col("vec_id") % 25 == 0)
-    return SIM.brute_force_topk(queries, e, k=5)
+    # peek the (constant) embedding dim at plan-build time so the pair
+    # scoring uses the codegen dot_fixed chain instead of interpreted
+    # HOF folds — bit-identical cos values (same left-associated sum;
+    # equality vs the fold form pinned in tests), ~50× on this query
+    row = e.select("embedding").head()
+    dim = len(row[0]) if row else None
+    return SIM.brute_force_topk(queries, e, k=5, dim=dim)
 
 
 def q21_embedding_near_dup(spark, sf):
@@ -253,7 +277,7 @@ def q22_text_quality(spark, sf):
     # duplicate-bigram fraction) ride the same driver window slot.
     from hyperion_crawler_spark.operators.quality import repetition_profile
 
-    d = _t(spark, sf, "documents")
+    d = _t_spread(spark, sf, "documents")
     rep = repetition_profile(d, "doc_id", "text", n=2)
     # PII scrub (r5 widening #2): the corpus text is PII-free, so each
     # doc_id%4 class gets a deterministic identifier suffix — counts
@@ -265,13 +289,20 @@ def q22_text_quality(spark, sf):
          .when(m4 == 1, F.lit(" node 172.16.254.3 up"))
          .when(m4 == 2, F.lit(" call +1 650 555 0100"))
          .otherwise(F.lit("")))
+    # TWO projection branches joined on doc_id instead of one giant
+    # projection: the combined metrics+PII expression list generates a
+    # whole-stage method past the JIT compilation threshold and the
+    # stage runs ~6× slower (measured 3.0 s vs 0.5+0.4 s for the
+    # branches at sf1.0; both joins broadcast under AQE, so the split
+    # costs no shuffle). Values are per-row and unchanged.
     base = d.select("doc_id", *TX.quality_metrics(F.col("text")),
                     TX.quality_score(F.col("text")).alias("quality"),
-                    TX.fingerprint(F.col("text")).alias("fp"),
-                    *TX.pii_counts(ptxt),
-                    F.length(TX.redact_pii(ptxt)).alias("red_len"))
-    return base.join(rep, "doc_id").select(
-        base["*"], "top_gram",
+                    TX.fingerprint(F.col("text")).alias("fp"))
+    pii = d.select("doc_id", *TX.pii_counts(ptxt),
+                   F.length(TX.redact_pii(ptxt)).alias("red_len"))
+    out = base.join(pii, "doc_id")
+    return out.join(rep, "doc_id").select(
+        out["*"], "top_gram",
         _pround(F.col("top_gram_frac"), 6).alias("top_gram_frac"),
         _pround(F.col("dup_gram_frac"), 6).alias("dup_gram_frac"))
 
@@ -483,7 +514,7 @@ def q40_bm25(spark, sf):
     """Okapi BM25 relevance of every document against a keyword query
     (training-data selection: score against a target-domain keyword
     description, keep the top slice)."""
-    d = _t(spark, sf, "documents")
+    d = _t_spread(spark, sf, "documents")
     return RK.bm25_scores(d, "doc_id", "text",
                           ["spark", "table", "scan", "merge", "vector"])
 
@@ -679,7 +710,10 @@ def q51_frame_sample(spark, sf):
         image_stats,
     )
 
-    docs = _t(spark, sf, "documents").select("doc_id")
+    # spread BEFORE the Python kernels: a mapInPandas chain inherits the
+    # scan's single-task partitioning; only doc_id shuffles (guide §4.1)
+    docs = _t(spark, sf, "documents").select("doc_id") \
+        .repartition(spark.sparkContext.defaultParallelism)
 
     def gen(batches):
         for pdf in batches:
@@ -719,7 +753,9 @@ def q52_audio_windows(spark, sf):
     )
     from hyperion_crawler_spark.operators.multimodal import audio_window_stats
 
-    docs = _t(spark, sf, "documents").select("doc_id")
+    # spread BEFORE the Python kernels (same rationale as q51)
+    docs = _t(spark, sf, "documents").select("doc_id") \
+        .repartition(spark.sparkContext.defaultParallelism)
 
     def gen(batches):
         for pdf in batches:
@@ -767,7 +803,7 @@ def q54_decontaminate(spark, sf):
     documents share 8-grams with the benchmark and must be dropped."""
     from hyperion_crawler_spark.operators.dedup import decontaminate
 
-    d = _t(spark, sf, "documents").select("doc_id", "source", "text")
+    d = _t_spread(spark, sf, "documents").select("doc_id", "source", "text")
     bench = d.filter(F.col("doc_id") % 23 == 0).select(
         F.array_join(F.slice(F.split(F.col("text"), " "), 5, 16), " ")
         .alias("text"))
@@ -786,7 +822,7 @@ def q55_span_dedup(spark, sf):
     it starts; the reassembled text is value-compared."""
     from hyperion_crawler_spark.operators.dedup import scrub_repeated_windows
 
-    d = _t(spark, sf, "documents").select("doc_id", "text")
+    d = _t_spread(spark, sf, "documents").select("doc_id", "text")
     rep = F.array_join(F.slice(F.split(F.col("text"), " "), 1, 20), " ")
     planted = d.select(
         "doc_id",
@@ -933,7 +969,7 @@ def q59_quality_classify(spark, sf):
     in tests/test_quality.py)."""
     from hyperion_crawler_spark.operators import quality as Q
 
-    d = _t(spark, sf, "documents")
+    d = _t_spread(spark, sf, "documents")
     m = F.col("doc_id") % 2
     txt = (F.when(m == 1, F.concat(F.upper(F.col("text")),
                                    F.lit(" !!! !!! !!! !!! !!!")))
@@ -960,7 +996,7 @@ def q60_simhash_dup_pairs(spark, sf):
     image near-dup (tests/test_multimodal.py)."""
     from hyperion_crawler_spark.operators.dedup import hamming_pairs, simhash_df
 
-    d = _t(spark, sf, "documents")
+    d = _t_spread(spark, sf, "documents")
     sims = simhash_df(d, "doc_id", "text")
     return hamming_pairs(sims, "doc_id", "simhash", max_dist=4) \
         .select("id1", "id2", F.col("dist").cast("int").alias("dist"))

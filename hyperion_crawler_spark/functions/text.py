@@ -43,9 +43,19 @@ def bpe_ish_token_count(text: Column) -> Column:
 
 
 def stopword_hits(text: Column, lang: str) -> Column:
-    """Number of tokens that are function words of ``lang``."""
-    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
-    return F.size(F.filter(tokens(text), lambda t: F.array_contains(sw, t)))
+    """Number of tokens that are function words of ``lang``.
+
+    Counted with one regexp scan instead of a per-token higher-order
+    ``filter`` lambda: a token (maximal run between single spaces after
+    padding both ends) equals a stopword iff the literal word appears
+    with a space on each side — zero-width lookarounds so adjacent
+    matches ("the the") share their boundary space. Integer-identical
+    to ``size(filter(split(text,' '), t -> t in stopwords))`` (the
+    words are regex-literal), but whole-stage codegen instead of an
+    interpreted lambda per token."""
+    alt = "|".join(STOPWORDS[lang])
+    return F.regexp_count(F.concat(F.lit(" "), text, F.lit(" ")),
+                          F.lit(f"(?<= )(?:{alt})(?= )"))
 
 
 def lang_id(text: Column) -> Column:

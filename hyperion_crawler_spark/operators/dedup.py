@@ -143,24 +143,43 @@ def minhash_signature(text: Column) -> Column:
 def minhash_signature_rows(df: DataFrame, id_col: str, text_col: str,
                            keep_text: bool = False) -> DataFrame:
     """``(doc_id[, _text], n_shingles, sig)`` — efficient DataFrame
-    form of ``minhash_signature``, identical values: the shingle-hash
-    array materializes ONCE as an attribute, then all N_MINHASH
-    permutation minima read it (the same attribute-barrier fix as
-    ``winnowing_fingerprint_rows``)."""
+    form of ``minhash_signature``, identical values.
+
+    r7 physical form: the distinct shingle hashes EXPLODE to rows and
+    all N_MINHASH permutation minima are computed as one map-side-
+    combinable hash aggregate (min over the same value set ≡ array_min
+    over the same array — bit-identical signatures, pinned by
+    test_rows_forms_match_column_forms). The previous form evaluated 16
+    interpreted ``array_min(transform(...))`` lambdas per document
+    (HOFs are CodegenFallback); the aggregate runs the 16 affine maps
+    in codegen and parallelizes across whatever partitioning the input
+    has. Zero-shingle documents (< 3 tokens) keep their all-null sig
+    row via the left join back to the id frame."""
     text = F.col(text_col)
-    base = [F.col(id_col).alias("doc_id")] + \
-        ([text.alias("_text")] if keep_text else [])
-    h = df.select(*base, F.transform(
-        word_ngrams(text, 3),
-        lambda s: portable_hash60(s) % MINHASH_DOMAIN).alias("_mh"))
-    sig = F.array(*[
-        F.array_min(F.transform(F.col("_mh"),
-                                lambda x: (F.lit(a) * x + F.lit(b)) % MINHASH_P))
-        for (a, b) in MINHASH_PERMS
-    ])
+    ids = df.select(F.col(id_col).alias("doc_id"),
+                    *([text.alias("_text")] if keep_text else []))
+    ex = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.transform(
+            word_ngrams(text, 3),
+            lambda s: portable_hash60(s) % MINHASH_DOMAIN)).alias("_x"))
+    x = F.col("_x")
+    agg = ex.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("_n"),
+        *[F.min((F.lit(a) * x + F.lit(b)) % MINHASH_P).alias(f"_s{j}")
+          for j, (a, b) in enumerate(MINHASH_PERMS)])
+    # docs with zero shingles produce no exploded rows: restore their
+    # (n_shingles=0, sig=[null…]) contract — exactly what array_min
+    # over an empty array yielded per permutation
+    sig = F.when(
+        F.col("_n").isNull(),
+        F.array(*([F.lit(None).cast("long")] * N_MINHASH))
+    ).otherwise(F.array(*[F.col(f"_s{j}") for j in range(N_MINHASH)]))
     keep = ["doc_id"] + (["_text"] if keep_text else [])
-    return h.select(*keep, F.size("_mh").alias("n_shingles"),
-                    sig.alias("sig"))
+    return (ids.join(agg, "doc_id", "left")
+            .select(*keep,
+                    F.coalesce(F.col("_n"), F.lit(0)).alias("n_shingles"),
+                    sig.alias("sig")))
 
 
 def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
@@ -506,6 +525,33 @@ def _hamming_block_pairs(reps: DataFrame, max_dist: int,
 
 
 # ------------------------------------------------------ decontamination
+def _ngram_tuple_hash_rows(df: DataFrame, id_expr, text: Column,
+                           n: int) -> DataFrame:
+    """One row per word n-gram OCCURRENCE as ``(<id_expr>, _sh)`` where
+    ``_sh = xxhash64(tok_0, …, tok_{n-1})`` — the existence-semantics
+    shingle feed for semi/anti joins.
+
+    Built with arrays_zip of n shifted slices (struct j holds tokens
+    j..j+n-1; trailing structs with a NULL last field are the < n
+    tails) — pure codegen, no higher-order lambda per gram and no gram
+    STRING materialization: the hash chains the token tuple directly.
+    Tokens contain no spaces, so tuple equality ≡ joined-string
+    equality; callers that need per-document DISTINCT shingles or
+    cross-engine-portable hash VALUES (jaccard counts, minhash) keep
+    ``word_ngrams`` + ``portable_hash60``."""
+    toks = tokens_expr(text)
+    shifted = [toks.alias("t0")] + [
+        F.slice(toks, j + 1, F.size(toks)).alias(f"t{j}")
+        for j in range(1, n)]
+    z = F.col("_z")
+    head = [] if id_expr is None else [id_expr]
+    keep = [] if id_expr is None else ["_cid"]
+    return (df.select(*head, F.explode(F.arrays_zip(*shifted)).alias("_z"))
+            .filter(z[f"t{n - 1}"].isNotNull())
+            .select(*keep,
+                    F.xxhash64(*[z[f"t{j}"] for j in range(n)]).alias("_sh")))
+
+
 def decontaminate(corpus: DataFrame, benchmark: DataFrame,
                   id_col: str, text_col: str, n: int = 8,
                   bench_text_col: str | None = None) -> DataFrame:
@@ -514,20 +560,22 @@ def decontaminate(corpus: DataFrame, benchmark: DataFrame,
     eval-leakage guard a pretraining pipeline runs before training
     (n-gram overlap, the GPT-3/PaLM-style 8-gram rule).
 
-    Scale shape: explode both sides to 60-bit shingle hashes, LEFT SEMI
-    join corpus shingles against the (distinct, comparatively tiny)
-    benchmark shingle set to find contaminated ids, then LEFT ANTI the
-    corpus — two narrow hash joins; the benchmark side broadcasts under
-    AQE at any realistic benchmark size. The corpus text column is
-    never shuffled."""
+    Scale shape: explode both sides to 64-bit shingle-tuple hashes,
+    LEFT SEMI join corpus shingles against the (distinct, comparatively
+    tiny) benchmark shingle set to find contaminated ids, then LEFT
+    ANTI the corpus — two narrow hash joins; the benchmark side
+    broadcasts under AQE at any realistic benchmark size. The corpus
+    text column is never shuffled. The shingle hash is engine-native
+    xxhash64 over the token tuple (r7: was sha-based portable_hash60 —
+    the contaminated SET is hash-function-independent up to
+    negligible-probability collisions, and per-document distinctness
+    is dropped because semi-join existence semantics make duplicate
+    occurrences harmless; guide §1.2 per-task work)."""
     bcol = bench_text_col or text_col
-    c_sh = corpus.select(
-        F.col(id_col).alias("_cid"),
-        F.explode(word_ngrams(F.col(text_col), n)).alias("_g"),
-    ).select("_cid", portable_hash60(F.col("_g")).alias("_sh"))
-    b_sh = benchmark.select(
-        F.explode(word_ngrams(F.col(bcol), n)).alias("_g"),
-    ).select(portable_hash60(F.col("_g")).alias("_sh")).distinct()
+    c_sh = _ngram_tuple_hash_rows(
+        corpus, F.col(id_col).alias("_cid"), F.col(text_col), n)
+    b_sh = _ngram_tuple_hash_rows(
+        benchmark, None, F.col(bcol), n).distinct()
     contaminated = (c_sh.join(b_sh, "_sh", "left_semi")
                     .select(F.col("_cid").alias(id_col)).distinct())
     return corpus.join(contaminated, id_col, "left_anti")

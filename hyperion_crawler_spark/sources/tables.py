@@ -982,13 +982,22 @@ class SnapshotTable:
         logged_max = max(logged, default=0)
         out: list[int] = []
         nxt_paths: set | None = None    # paths of version v+1's manifest
+        hit_expired = False
         for v in range(head, 0, -1):
             if not remaining:
                 break
             try:
                 paths_v = {f["path"] for f in self._manifest(v)["files"]}
             except FileNotFoundError:
-                break                    # expired ⇒ checkpointed history
+                # expired ⇒ the remaining deltas predate the GC
+                # keep-window and are checkpointed history; do NOT fall
+                # through to the v=1 attribution below — after
+                # Catalog.expire() removed old manifests that block
+                # would call _manifest(1) on a deleted file (crash) or
+                # mis-attribute checkpointed survivors to version 1
+                # (r6 ADVICE, high)
+                hit_expired = True
+                break
             if nxt_paths is not None:
                 intro_above = (nxt_paths - paths_v) & remaining
                 if intro_above:
@@ -999,7 +1008,7 @@ class SnapshotTable:
                             and v + 1 > logged_max):
                         out.append(v + 1)
             nxt_paths = paths_v
-        if remaining and nxt_paths is not None:
+        if remaining and nxt_paths is not None and not hit_expired:
             # survivors introduced at the lowest walked version (v=1)
             still = nxt_paths & remaining
             if still:

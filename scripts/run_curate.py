@@ -76,6 +76,12 @@ def curate(spark: SparkSession, docs: DataFrame, out_dir: str,
         timings[stage] = round(t1 - t0, 3)
         t0 = t1
 
+    # spread the corpus before the chain: a single-file input arrives
+    # as one scan task and every per-row-expensive stage (shingle
+    # hashing, signatures, PII regexes) would run on one core (guide
+    # §2.5 input skew). Scale-adaptive (defaultParallelism); every
+    # stage below is pinned partitioning-independent by test_curate.
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
     stats: dict = {"input": docs.count()}
     _lap("input")
 

@@ -122,6 +122,19 @@ def test_embedding_near_dup_planted(spark):
         assert r["cos"] >= 0.9
 
 
+def test_dot_fixed_topk_bit_identical_to_fold(spark):
+    """The dim-known codegen chain (dot_fixed/norm_fixed) must be BIT
+    identical to the HOF fold form — same left-associated reduction,
+    only the physical evaluation differs (r7 q20 optimization)."""
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") % 100 == 0)
+    fold = SIM.brute_force_topk(q, e, k=5).collect()
+    fixed = SIM.brute_force_topk(q, e, k=5, dim=64).collect()
+    fold_m = {(r["q_id"], r["rank"]): (r["n_id"], r["cos"]) for r in fold}
+    fixed_m = {(r["q_id"], r["rank"]): (r["n_id"], r["cos"]) for r in fixed}
+    assert fold_m == fixed_m     # exact equality, including tie-breaks
+
+
 def test_gemm_topk_matches_fold_topk(spark):
     e = spark.read.parquet(f"{SF}/embeddings.parquet")
     q = e.filter(F.col("vec_id") % 100 == 0)
@@ -319,6 +332,27 @@ def test_rows_forms_match_column_forms(spark):
     row_sig = {(r["doc_id"], tuple(r["sig"])) for r in
                DD.minhash_signature_rows(d, "doc_id", "text").collect()}
     assert col_sig == row_sig
+
+
+def test_merge_topk_string_ids_break_ties_lexicographically():
+    """Digit-only STRING ids must merge score-ties in STRING order
+    ('10' < '2'), matching the per-chunk pandas sort and the final
+    Spark window — not numeric order just because an int64 cast
+    happens to succeed (r6 ADVICE, low)."""
+    best_c = np.array([[0.5, -np.inf]])
+    best_n = np.array([["2", None]], dtype=object)
+    add_c = np.array([[0.5, 0.1]])
+    add_n = np.array([["10", "3"]], dtype=object)
+    mc, mn = SIM._merge_topk(best_c, best_n, add_c, add_n, k=2)
+    # tie at 0.5: '10' sorts before '2' lexicographically
+    assert list(mn[0]) == ["10", "2"]
+    # integer ids still merge numerically (2 < 10)
+    best_c = np.array([[0.5, -np.inf]])
+    best_n = np.array([[2, None]], dtype=object)
+    add_c = np.array([[0.5, 0.1]])
+    add_n = np.array([[10, 3]], dtype=object)
+    mc, mn = SIM._merge_topk(best_c, best_n, add_c, add_n, k=2)
+    assert list(mn[0]) == [2, 10]
 
 
 def test_pq_finds_planted_near_copies(spark):
