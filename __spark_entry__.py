@@ -101,7 +101,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # query implementations (spark, sf_dir) -> DataFrame
 # =====================================================================
 def q01_first_wins_dedup(spark, sf):
-    li = _t(spark, sf, "lineitem")
+    # project BEFORE the dedup: min_by(struct(payload)) carries every
+    # non-key column through a SortAggregate (struct buffers are not
+    # hash-aggregable), so the untrimmed form sorts all 11 lineitem
+    # columns; only the order keys + (returnflag, quantity) are ever
+    # read downstream (guide §2.3 — project before the exchange;
+    # ReadSchema drops 11 → 7 columns, same winner per key)
+    li = _t(spark, sf, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+        "l_extendedprice", "l_returnflag", "l_quantity")
     # aggregate form: l_orderkey is high-cardinality (the windowed form
     # sorts the whole table; min_by hash-combines map-side)
     kept = R.first_wins_dedup_agg(

@@ -91,7 +91,12 @@ def bpe_train(df: DataFrame, text_col: str, n_merges: int = 64
     wc = word_counts(df, text_col).select(
         _delim_word(F.col("word")).alias("_s"), "freq")
     merges: list[tuple[str, str]] = []
-    cur = wc.localCheckpoint()          # flat plan, upstream runs once
+    # lazy checkpoints (r7): each round's PAIR AGGREGATION touches every
+    # partition and therefore materializes the checkpoint as a side
+    # effect — an eager checkpoint paid one extra full pass per round
+    # just to materialize before aggregating. Plans stay flat either
+    # way; the merge list is unchanged.
+    cur = wc.localCheckpoint(eager=False)   # flat plan, upstream runs once
     for _ in range(n_merges):
         a = F.col("_a")
         n = F.size(a)
@@ -115,7 +120,7 @@ def bpe_train(df: DataFrame, text_col: str, n_merges: int = 64
             F.replace(F.col("_s"),
                       F.lit(D + left + DD + right + D),
                       F.lit(D + left + right + D)).alias("_s"),
-            "freq").localCheckpoint()
+            "freq").localCheckpoint(eager=False)
     return merges
 
 

@@ -209,29 +209,42 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     # all-null sigs would collide into ONE degenerate band bucket and
     # their Jaccard is 0/0; by definition they cannot be n-gram
     # near-dups, so they are excluded before banding
+    #
+    # r7 verify restructure (guide §2.3 / §8 — decide with small rows):
+    # the band self-join and the candidate DISTINCT run over (doc_id,
+    # band, bkey) ONLY — previously the full document text rode through
+    # both sides of the join and the distinct, and the exact-Jaccard
+    # verify re-shingled text per candidate PAIR side (template-heavy
+    # corpora produce ~m²/2 candidates per hot bucket, so sf1.0 paid
+    # ~2M interpreted word_ngrams calls). Now each candidate DOCUMENT
+    # is shingled once (≤ |docs| calls) and pairs join the two shingle
+    # arrays back by id.
     bands = with_sig.select(
-        "doc_id", "_text", "sig",
+        "doc_id",
         F.explode(F.array(*[
             F.struct(F.lit(bi).alias("band"),
                      F.concat_ws("-", *[F.col("sig")[bi * LSH_BAND_ROWS + r].cast("string")
                                         for r in range(LSH_BAND_ROWS)]).alias("bkey"))
             for bi in range(N_MINHASH // LSH_BAND_ROWS)
         ])).alias("bb"),
-    ).select("doc_id", "_text", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bkey") == F.col("b.bkey"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"),
-                F.col("a._text").alias("t1"), F.col("b._text").alias("t2"))
+        .select(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
         .distinct()
     )
-    # shingle arrays as attributes first (one split/transform per side,
-    # not one per reference — same HOF-CSE hazard as the signatures)
-    shingled = cand.select(
-        "id1", "id2",
-        word_ngrams(F.col("t1"), 3).alias("_g1"),
-        word_ngrams(F.col("t2"), 3).alias("_g2"))
+    cand_ids = (cand.select(F.col("id1").alias("doc_id"))
+                .unionByName(cand.select(F.col("id2").alias("doc_id")))
+                .distinct())
+    grams = (with_sig.join(cand_ids, "doc_id", "left_semi")
+             .select("doc_id", word_ngrams(F.col("_text"), 3).alias("_g")))
+    shingled = (cand
+                .join(grams.select(F.col("doc_id").alias("id1"),
+                                   F.col("_g").alias("_g1")), "id1")
+                .join(grams.select(F.col("doc_id").alias("id2"),
+                                   F.col("_g").alias("_g2")), "id2"))
     inter = F.size(F.array_intersect(F.col("_g1"), F.col("_g2")))
     uni = F.size(F.col("_g1")) + F.size(F.col("_g2")) - inter
     return (

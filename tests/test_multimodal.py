@@ -21,6 +21,33 @@ def test_image_stats(spark, fixture_dfs):
         assert got["w"] == r["w"] and got["h"] == r["h"]
 
 
+def test_image_stats_vectorized_bit_identical(spark, fixture_dfs):
+    """The stacked (per-shape batched) stats kernel must reproduce the
+    row-at-a-time math bit-for-bit: exact-integer channel sums make the
+    means order-independent, and _phash64_stack applies the identical
+    per-frame reshape/mean/packbits pipeline (r7 optimization)."""
+    from hyperion_crawler_spark.functions.images import phash64
+    from hyperion_crawler_spark.operators.multimodal import _phash64_stack
+
+    corpus = fixture_dfs["corpus"].limit(40)
+    got = {r["image_id"]: r for r in MM.image_stats(corpus).collect()}
+    for r in corpus.collect():
+        px = decode(bytes(r["bytes"])).astype(np.float64)
+        means = px.mean(axis=(0, 1))
+        g = got[r["image_id"]]
+        assert g["mean_r"] == round(float(means[0]), 4)
+        assert g["mean_g"] == round(float(means[1]), 4)
+        assert g["mean_b"] == round(float(means[2]), 4)
+        assert g["brightness"] == round(float(means.mean()), 4)
+        assert g["phash"] == phash64(px.astype(np.uint8))
+    # direct stack-vs-scalar equality on mixed content, incl. odd sizes
+    for w, h in [(16, 16), (32, 16), (24, 8)]:
+        st = np.stack([make_pixels(f"img{i:010d}", w, h)
+                       for i in range(7)]).astype(np.float64)
+        want = [phash64(st[i].astype(np.uint8)) for i in range(7)]
+        assert list(_phash64_stack(st)) == want
+
+
 def test_resize_shapes_and_determinism(spark, fixture_dfs):
     corpus = fixture_dfs["corpus"].limit(20)
     out = MM.resize(corpus, 8, 8).collect()
