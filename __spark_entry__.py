@@ -126,7 +126,11 @@ def q02_latest_topk(spark, sf):
     driver's 50-query correctness window; both operators still run and
     value-check — 'latest' rows from R.latest_per_key, 'topk' rows
     from R.topk_per_key)."""
-    o = _t(spark, sf, "orders")
+    # narrow BEFORE the two window sorts: each window sorts its full
+    # input rows, so the untouched 9-column orders rows pay ~2× the
+    # sort bytes of the 4 columns actually used (guide §2.3)
+    o = _t(spark, sf, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
     latest = R.latest_per_key(o, ["o_custkey"], F.col("o_orderdate"),
                               [F.col("o_orderkey").desc()]) \
         .select(F.lit("latest").alias("kind"), "o_custkey", "o_orderkey",
@@ -902,7 +906,7 @@ def q56_token_freq(spark, sf):
       all derived counts are bit-deterministic in both engines."""
     from hyperion_crawler_spark.functions import bpe as BPE
 
-    d = _t(spark, sf, "documents")
+    d = _t_spread(spark, sf, "documents")
     ws = (d.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
           .groupBy("token").agg(F.count("*").alias("n"))
           .orderBy(F.col("n").desc(), F.col("token").asc()).limit(50)

@@ -740,15 +740,22 @@ def keep_cluster_representatives(docs: DataFrame, id_col: str, labels: DataFrame
 def _win_hashes(s1: DataFrame, w: int) -> DataFrame:
     """(doc_id, _t tokens) → (doc_id, _t, _h window-hash array): hash of
     every w-token window at every 1-based offset; empty array when the
-    document is shorter than w. O(n·w) string/hash work per document,
-    shared by both physical forms of ``scrub_repeated_windows``."""
+    document is shorter than w. O(n·w) hash work per document, shared
+    by both physical forms of ``scrub_repeated_windows``.
+
+    r7: the window hash is engine-native ``xxhash64`` over the token
+    SLICE (arrays hash by content) instead of sha-60 over the joined
+    string — the hash only ever drives EQUALITY of windows (first-
+    occurrence detection; no hash value reaches any output), tokens are
+    space-split so slice equality ≡ joined-string equality, and the
+    per-window cost drops the string build + SHA-256 + hex/conv chain
+    (guide §1.2 per-task work)."""
     t = F.col("_t")
     n_win = F.size(t) - (w - 1)
     wins = F.when(
         n_win >= 1,
         F.transform(F.sequence(F.lit(1), n_win),
-                    lambda i: portable_hash60(
-                        F.array_join(F.slice(t, i, w), " "))),
+                    lambda i: F.xxhash64(F.slice(t, i, w))),
     ).otherwise(F.array().cast("array<long>"))
     return s1.select("doc_id", "_t", wins.alias("_h"))
 

@@ -865,8 +865,13 @@ class SnapshotTable:
                            and all("rows" in f for f in base_pre + pend_pre))
         n_new = None
         if ratio_armed:
-            n_new = source.count() + (
-                delete_keys.count() if delete_keys is not None else 0)
+            # ONE job for both probe counts (r7): the union scans the two
+            # pinned caches and its count is exactly
+            # count(source)+count(delete_keys)
+            probe = source.select(F.lit(1).alias("_p"))
+            if delete_keys is not None:
+                probe = probe.unionByName(delete_keys.select(F.lit(1).alias("_p")))
+            n_new = probe.count()
             if n_new == 0:
                 return self._commit(files, meta, keys=keys, ver=ver)  # idle
         elif source.isEmpty() and (delete_keys is None or delete_keys.isEmpty()):
