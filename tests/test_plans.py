@@ -78,10 +78,22 @@ def test_no_row_udfs_in_source_tree():
 
 
 def test_embedding_topk_broadcasts_queries(spark):
+    """q20's scoring must never shuffle the corpus by a pair key: the
+    query set rides to the executors as a broadcast — a task broadcast
+    into the scoring kernel on the dim-known path (r7; plan shows
+    MapInPandas and no join at all), or a broadcast join relation on
+    the fold path. A SortMergeJoin/ShuffledHashJoin here is the
+    scale bug this gate exists for."""
     import __spark_entry__ as E
+    from hyperion_crawler_spark.operators import similarity as SIM
 
     p = _plan(E.q20_embedding_topk(spark, SF))
-    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "MapInPandas" in p
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+    # the dim-agnostic fold form keeps the broadcast-NL-join shape
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    pf = _plan(SIM.brute_force_topk(e.filter(F.col("vec_id") % 100 == 0), e))
+    assert "BroadcastNestedLoopJoin" in pf or "BroadcastHashJoin" in pf
 
 
 def _formatted_plan(df) -> str:
