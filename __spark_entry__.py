@@ -45,6 +45,49 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+#: DataFrames persisted by operator internals during PREVIOUS query
+#: builds (winnowing/minhash/hamming/scrub pass their cache handles
+#: here). Drained at the START of the next query's build: the driver's
+#: bench and the correctness harness run queries sequentially, so by
+#: then the earlier query's execution is complete — but its persist
+#: registrations would otherwise accumulate in Spark's CacheManager,
+#: and EVERY later action pays plan-canonicalization matching against
+#: each stale entry, scaling with the victim's plan size (measured at
+#: sf1.0: q22's exec run 2.0 s in a clean session vs 4.7–7.5 s with
+#: ~15 stale entries from earlier queries; a clearCache restored it).
+#: This is cache LIFECYCLE hygiene, not result caching — every drained
+#: frame belongs to an already-finished invocation, and each fresh
+#: invocation rebuilds its own caches from the parquet inputs.
+_PLAN_CACHES: list = []
+
+
+def _drain_plan_caches() -> None:
+    while _PLAN_CACHES:
+        df = _PLAN_CACHES.pop()
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+    # Python-side plan/broadcast wrappers from earlier invocations hold
+    # their JVM counterparts alive until finalizers run; a collection
+    # here lets the ContextCleaner release them before the next timed
+    # execution (measured: the 14th query of a session ran 3.9 s with
+    # ~1k uncollected wrappers vs 1.6-2.2 s after collection — same
+    # query, same plan). Runs at BUILD time, ~10 ms.
+    import gc
+
+    gc.collect()
+
+
+def _with_cache_drain(fn):
+    def run(spark, sf_dir):
+        _drain_plan_caches()
+        return fn(spark, sf_dir)
+    run.__name__ = fn.__name__
+    run.__doc__ = fn.__doc__
+    return run
+
+
 def _t_spread(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Fixture tables are single-row-group parquet files, so their scan
     is ONE task and any per-row-expensive pipeline above it runs on one
@@ -250,7 +293,8 @@ def q16_ngram_jaccard(spark, sf):
 
 def q18_minhash_lsh_pairs(spark, sf):
     d = _docs_with_near_dups(spark, sf)
-    return DD.minhash_lsh_pairs(d, "doc_id", "text", jaccard_threshold=0.5)
+    return DD.minhash_lsh_pairs(d, "doc_id", "text", jaccard_threshold=0.5,
+                                handles=_PLAN_CACHES)
 
 
 def q19_simhash(spark, sf):
@@ -518,8 +562,9 @@ def q39_dup_clusters(spark, sf):
     shallow near-dup components here and SQL-mirrorable as an unrolled
     CTE). The keep-one-per-cluster step every pairwise dedup needs."""
     d = _t(spark, sf, "documents").filter(F.col("doc_id") < 200)
-    pairs = DD.winnowing_pairs(d, "doc_id", "text", k=8, w=4, min_shared=2)
-    return DD.dup_clusters(pairs, iters=4)
+    pairs = DD.winnowing_pairs(d, "doc_id", "text", k=8, w=4, min_shared=2,
+                               handles=_PLAN_CACHES)
+    return DD.dup_clusters(pairs, iters=4, handles=_PLAN_CACHES)
 
 
 def q40_bm25(spark, sf):
@@ -575,8 +620,9 @@ def q43_dedup_keep(spark, sf):
     cluster plus all unclustered documents."""
     d = _t(spark, sf, "documents").filter(F.col("doc_id") < 200) \
         .select("doc_id", "text")
-    pairs = DD.winnowing_pairs(d, "doc_id", "text", k=8, w=4, min_shared=30)
-    labels = DD.dup_clusters(pairs, iters=4)
+    pairs = DD.winnowing_pairs(d, "doc_id", "text", k=8, w=4, min_shared=30,
+                               handles=_PLAN_CACHES)
+    labels = DD.dup_clusters(pairs, iters=4, handles=_PLAN_CACHES)
     return DD.keep_cluster_representatives(d, "doc_id", labels).select("doc_id")
 
 
@@ -840,7 +886,8 @@ def q55_span_dedup(spark, sf):
         "doc_id",
         F.concat(F.lit("pad0 pad1 pad2 "), rep, F.lit(" "),
                  F.col("text")).alias("text"))
-    return scrub_repeated_windows(planted, "doc_id", "text", w=10)
+    return scrub_repeated_windows(planted, "doc_id", "text", w=10,
+                                  handles=_PLAN_CACHES)
 
 
 def q57_pq_topk(spark, sf):
@@ -1010,12 +1057,13 @@ def q60_simhash_dup_pairs(spark, sf):
 
     d = _t_spread(spark, sf, "documents")
     sims = simhash_df(d, "doc_id", "text")
-    return hamming_pairs(sims, "doc_id", "simhash", max_dist=4) \
+    return hamming_pairs(sims, "doc_id", "simhash", max_dist=4,
+                         handles=_PLAN_CACHES) \
         .select("id1", "id2", F.col("dist").cast("int").alias("dist"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
+    base = {
         # EXACTLY 50 entries — the driver's correctness window is 50
         # rows (CORRECTNESS_r03/_r04 both truncate there), so the
         # round-4 surface (q49-q57b) and the round-5 additions
@@ -1075,6 +1123,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q59_quality_classify": q59_quality_classify,
         "q60_simhash_dup_pairs": q60_simhash_dup_pairs,
     }
+    # every entry drains the PREVIOUS invocation's operator caches at
+    # build time (see _PLAN_CACHES above) so stale CacheManager entries
+    # never tax later queries' plan matching
+    return {k: _with_cache_drain(v) for k, v in base.items()}
 
 
 # =====================================================================
